@@ -1,0 +1,57 @@
+"""Bilinear resize with torch `F.interpolate(align_corners=True)` semantics,
+plus 2x average pooling — the two resamplers used throughout the reference
+decoders (models/decoder/scflow_decoder.py:196-227, raft_decoder.py:32).
+
+Implemented as separable 1-D interpolation matrices applied with einsum so
+XLA lowers them to MXU matmuls instead of gathers.
+"""
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool = True) -> np.ndarray:
+    """(n_out, n_in) sparse-ish bilinear interpolation matrix."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1:
+        m[0, 0] = 1.0
+        return m
+    for i in range(n_out):
+        if align_corners:
+            src = i * (n_in - 1) / (n_out - 1)
+        else:
+            src = max(0.0, min(n_in - 1.0, (i + 0.5) * n_in / n_out - 0.5))
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+def resize_align_corners(x: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
+    """x: (N, H, W, C) -> (N, h_out, w_out, C), bilinear, align_corners=True."""
+    n, h, w, c = x.shape
+    if h == h_out and w == w_out:
+        return x
+    mh = jnp.asarray(_interp_matrix(h, h_out, True))
+    mw = jnp.asarray(_interp_matrix(w, w_out, True))
+    x = jnp.einsum("oh,nhwc->nowc", mh, x)
+    x = jnp.einsum("pw,nowc->nopc", mw, x)
+    return x
+
+
+def interpolate_bilinear(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """F.interpolate(x, scale_factor=scale, mode='bilinear', align_corners=True)."""
+    n, h, w, c = x.shape
+    return resize_align_corners(x, int(h * scale), int(w * scale))
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pool, NHWC (torch nn.AvgPool2d(2, 2))."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
