@@ -1,0 +1,89 @@
+"""Building-block layers (flax.linen, NHWC).
+
+`ConvModule` mirrors the mmcv ConvModule used everywhere in the reference
+(conv -> norm -> act order), with norm in {None, 'BN', 'IN', 'GN'} and act in
+{None, 'relu', 'sigmoid', 'tanh'}.  Param layout is flax-native (HWIO
+kernels); the torch checkpoint converter transposes OIHW -> HWIO.
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+KernelArg = Union[int, Tuple[int, int]]
+
+
+def _pair(k: KernelArg) -> Tuple[int, int]:
+    return (k, k) if isinstance(k, int) else tuple(k)
+
+
+_ACTS: dict = {
+    None: lambda x: x,
+    "relu": nn.relu,
+    "sigmoid": nn.sigmoid,
+    "tanh": nn.tanh,
+}
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d (per-sample, per-channel over H, W), NHWC.
+
+    Defaults match torch nn.InstanceNorm2d: affine=False, eps=1e-5, no
+    running stats (the reference's RAFT feature encoder, scflow.py:28).
+    """
+
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+class ConvModule(nn.Module):
+    """conv -> norm -> act (mmcv ConvModule order)."""
+
+    out_channels: int
+    kernel_size: KernelArg = 3
+    stride: int = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    norm: Optional[str] = None
+    act: Optional[str] = "relu"
+    use_bias: Optional[bool] = None
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # mmcv disables conv bias when a norm follows
+        bias = self.use_bias if self.use_bias is not None else self.norm is None
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        x = nn.Conv(
+            self.out_channels,
+            (kh, kw),
+            strides=(self.stride, self.stride),
+            padding=((ph, ph), (pw, pw)),
+            use_bias=bias,
+            name="conv",
+        )(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+            )(x)
+        elif self.norm == "IN":
+            x = InstanceNorm(name="norm")(x)
+        elif self.norm == "GN":
+            x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="norm")(x)
+        elif self.norm is not None:
+            raise ValueError(f"unknown norm {self.norm}")
+        return _ACTS[self.act](x)

@@ -1,0 +1,105 @@
+"""Motion encoder, convolutional GRU, and prediction heads (XHead).
+
+Reference: models/decoder/raft_decoder.py:61-294.  All convs are bias+ReLU
+(no norm), matching the shipped configs (conv_cfg/norm_cfg None, act ReLU).
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scflow_tpu.models.layers import ConvModule
+
+_MOTION_ARCH = {
+    # net_type: (corr (ch, k, p) list, flow list, out list)
+    "Basic": (
+        [(256, 1, 0), (192, 3, 1)],
+        [(128, 7, 3), (64, 3, 1)],
+        [(126, 3, 1)],
+    ),
+    "Large": (
+        [(256, 1, 0), (192, 3, 1)],
+        [(128, 7, 3), (64, 3, 1)],
+        [(126, 3, 1)],
+    ),
+    "Small": (
+        [(96, 1, 0)],
+        [(64, 7, 3), (32, 3, 1)],
+        [(80, 3, 1)],
+    ),
+}
+
+
+class MotionEncoder(nn.Module):
+    """(corr, flow) -> motion feature; output = concat[out_net(...), flow]."""
+
+    net_type: str = "Basic"
+
+    @property
+    def out_channels(self) -> int:
+        return _MOTION_ARCH[self.net_type][2][-1][0] + 2
+
+    @nn.compact
+    def __call__(self, corr: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        corr_arch, flow_arch, out_arch = _MOTION_ARCH[self.net_type]
+        c = corr
+        for i, (ch, k, p) in enumerate(corr_arch):
+            c = ConvModule(ch, k, padding=p, act="relu", name=f"corr_net{i}")(c)
+        f = flow
+        for i, (ch, k, p) in enumerate(flow_arch):
+            f = ConvModule(ch, k, padding=p, act="relu", name=f"flow_net{i}")(f)
+        out = jnp.concatenate([c, f], axis=-1)
+        for i, (ch, k, p) in enumerate(out_arch):
+            out = ConvModule(ch, k, padding=p, act="relu", name=f"out_net{i}")(out)
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class ConvGRU(nn.Module):
+    """GRU cell with convolutions; SeqConv = two passes with (1,5)/(5,1) kernels.
+
+    h' = (1 - z) * h + z * q,  z/r sigmoid convs, q tanh conv on [r*h, x].
+    """
+
+    h_channels: int
+    net_type: str = "SeqConv"
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if self.net_type == "Conv":
+            kernels, paddings = [(3, 3)], [(1, 1)]
+        else:
+            kernels, paddings = [(1, 5), (5, 1)], [(0, 2), (2, 0)]
+        for i, (k, p) in enumerate(zip(kernels, paddings)):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = ConvModule(
+                self.h_channels, k, padding=p, act="sigmoid", name=f"conv_z{i}"
+            )(hx)
+            r = ConvModule(
+                self.h_channels, k, padding=p, act="sigmoid", name=f"conv_r{i}"
+            )(hx)
+            q = ConvModule(
+                self.h_channels, k, padding=p, act="tanh", name=f"conv_q{i}"
+            )(jnp.concatenate([r * h, x], axis=-1))
+            h = (1.0 - z) * h + z * q
+        return h
+
+
+class XHead(nn.Module):
+    """Two-conv prediction head for flow/mask/upsample-mask outputs."""
+
+    feat_channels: Sequence[int]
+    x_channels: int
+    kind: str = "flow"  # 'flow' | 'mask'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, ch in enumerate(self.feat_channels):
+            x = ConvModule(ch, 3, padding=1, act="relu", name=f"layer{i}")(x)
+        if self.kind == "flow":
+            return nn.Conv(
+                self.x_channels, (3, 3), padding=((1, 1), (1, 1)), name="predict"
+            )(x)
+        elif self.kind == "mask":
+            return nn.Conv(self.x_channels, (1, 1), name="predict")(x)
+        raise ValueError(self.kind)

@@ -1,0 +1,110 @@
+"""RAFT iterative decoders (flow-only and flow+occlusion variants).
+
+Reference: models/decoder/raft_decoder.py:299-456 and
+models/decoder/raft_decoder_mask.py:21-208.  Flow lives at 1/8 resolution
+inside the loop; each iteration emits a convex-upsampled full-resolution
+prediction (learned 9-way softmax over a 3x3 neighborhood per 8x8 subpixel).
+The loop is statically unrolled inside a single jit scope.
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
+from scflow_tpu.ops.corr import corr_lookup, correlation_pyramid
+from scflow_tpu.ops.resize import interpolate_bilinear
+from scflow_tpu.ops.upsample import convex_upsample
+from scflow_tpu.registry import DECODERS
+
+_H_CHANNELS = {"Basic": 128, "Small": 96}
+_CXT_CHANNELS = {"Basic": 128, "Small": 64}
+
+
+@DECODERS.register_module("RAFTDecoder")
+class RAFTDecoder(nn.Module):
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    gru_type: str = "SeqConv"
+    feat_channels: int = 256
+    mask_channels: int = 64
+    convex_upsample_flow: bool = True
+    predict_occlusion: bool = False  # True -> RAFTDecoderMask behavior
+
+    @property
+    def h_channels(self):
+        return _H_CHANNELS[self.net_type]
+
+    @property
+    def cxt_channels(self):
+        return _CXT_CHANNELS[self.net_type]
+
+    @nn.compact
+    def __call__(
+        self,
+        feat1: jnp.ndarray,
+        feat2: jnp.ndarray,
+        flow: jnp.ndarray,  # (N, h, w, 2) at 1/8 resolution (warm start)
+        h_feat: jnp.ndarray,
+        cxt_feat: jnp.ndarray,
+        iters: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        iters = self.iters if iters is None else iters
+        scale = 2 ** (self.num_levels - 1)
+        pyramid = correlation_pyramid(feat1, feat2, self.num_levels)
+
+        motion_enc = MotionEncoder(net_type=self.net_type, name="encoder")
+        gru = ConvGRU(self.h_channels, net_type=self.gru_type, name="gru")
+        flow_head = XHead((self.feat_channels,), 2, kind="flow", name="flow_pred")
+        up_mask_head = None
+        if self.net_type == "Basic":
+            up_mask_head = XHead(
+                (self.feat_channels,),
+                self.mask_channels * (2 * self.radius + 1),
+                kind="mask",
+                name="mask_pred",
+            )
+        occ_head = None
+        if self.predict_occlusion:
+            occ_head = XHead((self.feat_channels,), 1, kind="mask", name="occlusion_pred")
+
+        upflows, upoccs = [], []
+        for _ in range(iters):
+            flow = jax.lax.stop_gradient(flow)
+            corr = corr_lookup(pyramid, flow, self.radius)
+            motion_feat = motion_enc(corr, flow)
+            x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
+            h_feat = gru(h_feat, x)
+            delta_flow = flow_head(h_feat)
+            flow = flow + delta_flow
+
+            mask = None
+            if up_mask_head is not None and self.convex_upsample_flow:
+                mask = 0.25 * up_mask_head(h_feat)
+            if mask is None:
+                upflow = scale * interpolate_bilinear(flow, scale)
+            else:
+                upflow = convex_upsample(flow, mask, scale, multiplier=scale)
+            upflows.append(upflow)
+
+            if occ_head is not None:
+                occ = nn.sigmoid(occ_head(h_feat))
+                if mask is None:
+                    upocc = interpolate_bilinear(occ, scale)
+                else:
+                    upocc = convex_upsample(occ, mask, scale, multiplier=1.0)
+                upoccs.append(upocc[..., 0])
+
+        out = {"flow": jnp.stack(upflows, axis=0)}
+        if occ_head is not None:
+            out["occlusion"] = jnp.stack(upoccs, axis=0)
+        return out
+
+
+@DECODERS.register_module("RAFTDecoderMask")
+class RAFTDecoderMask(RAFTDecoder):
+    predict_occlusion: bool = True

@@ -1,0 +1,110 @@
+"""RAFT feature/context encoder (reference models/encoder/raft_encoder.py).
+
+'Basic' arch: 7x7 stride-2 stem + 3 residual stages of 2 BasicBlocks
+(channels 64/96/128, strides 1/2/2 -> 1/8 scale) + 1x1 output conv.
+BasicBlocks keep the mmcv layout (conv3x3+bias -> norm -> relu -> conv3x3+bias
+-> norm, 1x1+norm downsample on stride/channel change, residual add -> relu;
+reference models/backbone/resnet.py:14-95).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scflow_tpu.models.layers import ConvModule, InstanceNorm
+from scflow_tpu.registry import ENCODERS
+
+
+class _Norm(nn.Module):
+    kind: Optional[str]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind is None:
+            return x
+        if self.kind == "BN":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="n"
+            )(x)
+        if self.kind == "IN":
+            return InstanceNorm(name="n")(x)
+        if self.kind == "GN":
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="n")(x)
+        raise ValueError(self.kind)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    norm: Optional[str] = "BN"
+    with_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=True, name="conv1",
+        )(x)
+        out = _Norm(self.norm, name="norm1")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True, name="conv2"
+        )(out)
+        out = _Norm(self.norm, name="norm2")(out, train)
+        if self.with_downsample:
+            identity = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            identity = _Norm(self.norm, name="downsample_norm")(identity, train)
+        return nn.relu(out + identity)
+
+
+@ENCODERS.register_module("RAFTEncoder")
+class RAFTEncoder(nn.Module):
+    """Input (N, H, W, in_channels) -> (N, H/8, W/8, out_channels)."""
+
+    in_channels: int = 3
+    out_channels: int = 256
+    net_type: str = "Basic"
+    norm: Optional[str] = "BN"
+    scale: float = 1.0 / 8
+
+    _base_channels = {"Basic": (64, 96, 128), "Large": (64, 96)}
+    _strides = {"Basic": (1, 2, 2), "Large": (1, 2)}
+    _stem_channels = {"Basic": 64, "Large": 64}
+    _stage_blocks = {"Basic": (2, 2, 2), "Large": (2, 2)}
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.net_type not in self._base_channels:
+            raise KeyError(f"net_type {self.net_type} unsupported (Basic/Large)")
+        stem_stride = 1 if self.scale == 1.0 / 4 else 2
+        stem_ch = self._stem_channels[self.net_type]
+        x = nn.Conv(
+            stem_ch, (7, 7), strides=(stem_stride, stem_stride),
+            padding=((3, 3), (3, 3)), use_bias=True, name="stem_conv",
+        )(x)
+        x = _Norm(self.norm, name="stem_norm")(x, train)
+        x = nn.relu(x)
+
+        inplanes = stem_ch
+        for i, (planes, stride, blocks) in enumerate(
+            zip(
+                self._base_channels[self.net_type],
+                self._strides[self.net_type],
+                self._stage_blocks[self.net_type],
+            )
+        ):
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                need_ds = (s != 1) or (inplanes != planes)
+                x = BasicBlock(
+                    planes=planes, stride=s, norm=self.norm,
+                    with_downsample=need_ds, name=f"layer{i + 1}_block{b}",
+                )(x, train)
+                inplanes = planes
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=True, name="out_conv")(x)
+        return x

@@ -1,0 +1,180 @@
+"""SCFlow decoder — the shape-constraint recurrent update loop.
+
+Reference: models/decoder/scflow_decoder.py:18-251.  Each iteration:
+corr lookup at the (downsampled) pose-induced flow -> motion encoder ->
+ConvGRU -> delta-flow + occlusion-mask heads -> delta-pose head on
+[h, enc(dflow), enc(mask)] -> SE(3) update (detached previous pose) ->
+dense pose-induced flow for the next iteration.
+
+TPU-first re-design (SURVEY.md §7.1): object-frame points are lifted ONCE
+densely (every pixel, masked) instead of ragged per-image lists; the
+pose-induced flow is a dense reproject + where-select (no scatter, no host
+loop).  The loop is a statically-unrolled recurrence inside one jit scope so
+XLA fuses across iterations; iteration count is a static argument (train and
+test iters are separate jit specializations, replacing the reference's
+mutable `decoder.iters`, scflow_refiner.py:154-162).
+"""
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scflow_tpu.geometry.camera import lift_depth_to_object_points
+from scflow_tpu.geometry.flow import flow_from_object_points
+from scflow_tpu.geometry.se3 import apply_delta_pose
+from scflow_tpu.models.layers import ConvModule
+from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
+from scflow_tpu.models.pose_head import MultiClassPoseHead, SingleClassPoseHead
+from scflow_tpu.ops.corr import corr_lookup, correlation_pyramid
+from scflow_tpu.ops.resize import interpolate_bilinear
+from scflow_tpu.registry import DECODERS
+
+_H_CHANNELS = {"Basic": 128, "Small": 96}
+_CXT_CHANNELS = {"Basic": 128, "Small": 64}
+
+
+@DECODERS.register_module("SCFlowDecoder")
+class SCFlowDecoder(nn.Module):
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    iters: int = 8
+    detach_flow: bool = True
+    detach_mask: bool = True
+    detach_pose: bool = True
+    detach_depth_for_xy: bool = False
+    mask_flow: bool = False
+    mask_corr: bool = False
+    depth_transform: str = "exp"
+    gru_type: str = "SeqConv"
+    feat_channels: int = 256
+    pose_head_cfg: Optional[dict] = None
+
+    @property
+    def h_channels(self):
+        return _H_CHANNELS[self.net_type]
+
+    @property
+    def cxt_channels(self):
+        return _CXT_CHANNELS[self.net_type]
+
+    def _build_pose_head(self):
+        cfg = dict(self.pose_head_cfg or {"type": "MultiClassPoseHead"})
+        head_type = cfg.pop("type")
+        # flax modules take a reduced set of construction args
+        kw = {}
+        for k in ("num_class", "in_channels", "rotation_mode"):
+            if k in cfg:
+                kw[k] = cfg[k]
+        if head_type == "MultiClassPoseHead":
+            return MultiClassPoseHead(name="pose_pred", **kw)
+        elif head_type == "SingleClassPoseHead":
+            kw.pop("num_class", None)
+            return SingleClassPoseHead(name="pose_pred", **kw)
+        raise KeyError(head_type)
+
+    @nn.compact
+    def __call__(
+        self,
+        feat_render: jnp.ndarray,  # (N, h, w, C)
+        feat_real: jnp.ndarray,  # (N, h, w, C)
+        h_feat: jnp.ndarray,  # (N, h, w, 128)
+        cxt_feat: jnp.ndarray,  # (N, h, w, 128)
+        ref_rotation: jnp.ndarray,  # (N, 3, 3)
+        ref_translation: jnp.ndarray,  # (N, 3)
+        depth: jnp.ndarray,  # (N, H, W) rendered depth
+        internal_k: jnp.ndarray,  # (N, 3, 3)
+        label: jnp.ndarray,  # (N,)
+        init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
+        invalid_flow_num: float = 0.0,
+        iters: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        iters = self.iters if iters is None else iters
+        scale = 2 ** (self.num_levels - 1)
+        n, img_h, img_w = depth.shape
+
+        pyramid = correlation_pyramid(feat_render, feat_real, self.num_levels)
+
+        motion_enc = MotionEncoder(net_type=self.net_type, name="encoder")
+        gru = ConvGRU(self.h_channels, net_type=self.gru_type, name="gru")
+        flow_head = XHead((self.feat_channels,), 2, kind="flow", name="flow_pred")
+        mask_head = XHead((self.feat_channels,), 1, kind="mask", name="mask_pred")
+        pose_head = self._build_pose_head()
+
+        dfe0 = ConvModule(128, 7, padding=3, act="relu", name="delta_flow_enc0")
+        dfe1 = ConvModule(64, 3, padding=1, act="relu", name="delta_flow_enc1")
+        me0 = ConvModule(64, 3, padding=1, act="relu", name="mask_enc0")
+        me1 = ConvModule(32, 3, padding=1, act="relu", name="mask_enc1")
+        delta_flow_encoder = lambda x: dfe1(dfe0(x))
+        mask_encoder = lambda x: me1(me0(x))
+
+        # dense lift of the rendered depth under the reference pose (once)
+        points_obj, points_valid = lift_depth_to_object_points(
+            depth, internal_k, ref_rotation, ref_translation
+        )
+
+        if init_flow is None:
+            init_flow = jnp.zeros((n, img_h, img_w, 2), feat_render.dtype)
+
+        flow = init_flow  # full resolution pose-induced flow
+        mask = jnp.ones((n, img_h // scale, img_w // scale, 1), feat_render.dtype)
+        R, t = ref_rotation, ref_translation
+
+        seqs: Dict[str, list] = {
+            "flow_from_pose": [],
+            "flow_from_pred": [],
+            "rotations": [],
+            "translations": [],
+            "masks": [],
+            "delta_rotations": [],
+            "delta_translations": [],
+        }
+
+        for _ in range(iters):
+            if self.detach_flow:
+                flow = jax.lax.stop_gradient(flow)
+            if self.detach_mask:
+                mask = jax.lax.stop_gradient(mask)
+            flow_small = (1.0 / scale) * interpolate_bilinear(flow, 1.0 / scale)
+            corr = corr_lookup(pyramid, flow_small, self.radius)
+            if self.mask_corr:
+                corr = corr * mask
+            motion_feat = motion_enc(corr, flow_small * mask if self.mask_flow else flow_small)
+            x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
+            h_feat = gru(h_feat, x)
+
+            delta_flow = flow_head(h_feat)
+            mask = nn.sigmoid(mask_head(h_feat))
+
+            dff = delta_flow_encoder(delta_flow)
+            mf = mask_encoder(mask)
+            d_rot, d_trans = pose_head(
+                jnp.concatenate([h_feat, dff, mf], axis=-1), label
+            )
+
+            flow_pred = scale * interpolate_bilinear(flow_small + delta_flow, scale)
+            mask_up = interpolate_bilinear(mask, scale)
+
+            R_prev = jax.lax.stop_gradient(R) if self.detach_pose else R
+            t_prev = jax.lax.stop_gradient(t) if self.detach_pose else t
+            R, t = apply_delta_pose(
+                d_rot, d_trans, R_prev, t_prev,
+                depth_transform=self.depth_transform,
+                detach_depth_for_xy=self.detach_depth_for_xy,
+            )
+
+            flow = flow_from_object_points(
+                points_obj, points_valid, R, t, internal_k, invalid_flow_num
+            )
+
+            seqs["flow_from_pose"].append(flow)
+            seqs["flow_from_pred"].append(flow_pred)
+            seqs["rotations"].append(R)
+            seqs["translations"].append(t)
+            seqs["masks"].append(mask_up[..., 0])
+            seqs["delta_rotations"].append(d_rot)
+            seqs["delta_translations"].append(d_trans)
+
+        return {k: jnp.stack(v, axis=0) for k, v in seqs.items()}

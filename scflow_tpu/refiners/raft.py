@@ -1,0 +1,101 @@
+"""RAFT baseline refiners (flow-only and flow+occlusion).
+
+Reference: models/refiner/raft_refiner_flow.py and
+raft_refiner_flow_mask.py (network part).  Pose recovery from flow (PnP on
+2D-3D correspondences) lives in scflow_tpu.geometry.pnp / the eval pipeline.
+"""
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scflow_tpu.models.raft_decoder import RAFTDecoder
+from scflow_tpu.models.raft_encoder import RAFTEncoder
+from scflow_tpu.registry import REFINERS
+
+
+class _RAFTRefinerBase(nn.Module):
+    seperate_encoder: bool = False
+    h_channels: int = 128
+    cxt_channels: int = 128
+    encoder_out_channels: int = 256
+    encoder_norm: str = "IN"
+    cxt_norm: str = "BN"
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    gru_type: str = "SeqConv"
+    convex_upsample_flow: bool = True
+    max_flow: float = 400.0
+    predict_occlusion: bool = False
+
+    def setup(self):
+        self.render_encoder = RAFTEncoder(
+            out_channels=self.encoder_out_channels,
+            net_type=self.net_type,
+            norm=self.encoder_norm,
+            name="render_encoder",
+        )
+        if self.seperate_encoder:
+            self.real_encoder = RAFTEncoder(
+                out_channels=self.encoder_out_channels,
+                net_type=self.net_type,
+                norm=self.encoder_norm,
+                name="real_encoder",
+            )
+        else:
+            self.real_encoder = self.render_encoder
+        self.context = RAFTEncoder(
+            out_channels=self.h_channels + self.cxt_channels,
+            net_type=self.net_type,
+            norm=self.cxt_norm,
+            name="context",
+        )
+        self.decoder = RAFTDecoder(
+            net_type=self.net_type,
+            num_levels=self.num_levels,
+            radius=self.radius,
+            iters=self.iters,
+            gru_type=self.gru_type,
+            convex_upsample_flow=self.convex_upsample_flow,
+            predict_occlusion=self.predict_occlusion,
+            name="decoder",
+        )
+
+    def extract_feat(self, render_images, real_images, train: bool = False):
+        render_feat = self.render_encoder(render_images, train)
+        real_feat = self.real_encoder(real_images, train)
+        cxt = self.context(render_images, train)
+        h_feat = nn.tanh(cxt[..., : self.h_channels])
+        cxt_feat = nn.relu(cxt[..., self.h_channels :])
+        return render_feat, real_feat, h_feat, cxt_feat
+
+    def __call__(
+        self,
+        render_images: jnp.ndarray,
+        real_images: jnp.ndarray,
+        init_flow: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
+            render_images, real_images, train
+        )
+        if init_flow is None:
+            n, h, w, _ = feat_real.shape
+            init_flow = jnp.zeros((n, h, w, 2), feat_real.dtype)
+        return self.decoder(
+            feat_render, feat_real, init_flow, h_feat, cxt_feat, iters=iters
+        )
+
+
+@REFINERS.register_module("RAFTRefinerFlow")
+class RAFTRefinerFlow(_RAFTRefinerBase):
+    predict_occlusion: bool = False
+
+
+@REFINERS.register_module("RAFTRefinerFlowMask")
+class RAFTRefinerFlowMask(_RAFTRefinerBase):
+    predict_occlusion: bool = True
