@@ -165,9 +165,13 @@ class TestSCFlowRefiner:
             return jnp.sum(out["translations"] ** 2) + jnp.sum(out["flow_from_pred"] ** 2)
 
         grads = jax.grad(loss_fn)(v["params"])
-        g = grads["decoder"]["pose_pred"]["trunk"]["conv0"]["conv"]["kernel"]
+        # the final linears are zero-init, so at init the gradient signal
+        # lands on them (not yet on the trunk convs behind the zero kernels)
+        g = grads["decoder"]["pose_pred"]["translation_pred"]["kernel"]
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+        g_flow = grads["decoder"]["flow_pred"]["layer0"]["conv"]["kernel"]
+        assert np.abs(np.asarray(g_flow)).max() > 0
 
 
 class TestBuildFromConfig:
