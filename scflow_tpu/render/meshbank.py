@@ -1,0 +1,138 @@
+"""Padded per-class mesh banks — the static-shape replacement for the
+reference's ragged per-class mesh lists (models/utils/rendering.py:122-131,
+models/loss/point_matching_loss.py:51-59).
+
+All classes are padded to a common (V, F); padding faces are degenerate
+(0,0,0) triangles with `face_valid` False, padding vertices sit at the
+origin with `vert_valid` False.  Everything is a plain numpy/JAX array, so a
+batch gathers its meshes with one `take` — no host loop, no ragged joins.
+"""
+
+import os
+from dataclasses import dataclass, field
+from glob import glob
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from scflow_tpu.render.ply import PlyMesh, load_ply
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class MeshBank:
+    verts: np.ndarray  # (C, V, 3) float32
+    faces: np.ndarray  # (C, F, 3) int32
+    colors: np.ndarray  # (C, V, 3) float32 in [0, 1]
+    normals: np.ndarray  # (C, V, 3) float32
+    vert_valid: np.ndarray  # (C, V) bool
+    face_valid: np.ndarray  # (C, F) bool
+    diameters: np.ndarray  # (C,) float32
+    class_names: Optional[Sequence[str]] = None
+
+    @property
+    def num_class(self) -> int:
+        return self.verts.shape[0]
+
+    @classmethod
+    def from_meshes(cls, meshes: List[PlyMesh], pad_multiple: int = 8,
+                    class_names=None, diameters=None) -> "MeshBank":
+        vmax = _round_up(max(len(m.vertices) for m in meshes), pad_multiple)
+        fmax = _round_up(max(len(m.faces) for m in meshes), pad_multiple)
+        c = len(meshes)
+        verts = np.zeros((c, vmax, 3), np.float32)
+        faces = np.zeros((c, fmax, 3), np.int32)
+        colors = np.full((c, vmax, 3), 0.7, np.float32)
+        normals = np.zeros((c, vmax, 3), np.float32)
+        vert_valid = np.zeros((c, vmax), bool)
+        face_valid = np.zeros((c, fmax), bool)
+        diams = np.zeros((c,), np.float32)
+        for i, m in enumerate(meshes):
+            nv, nf = len(m.vertices), len(m.faces)
+            verts[i, :nv] = m.vertices
+            faces[i, :nf] = m.faces
+            if m.colors is not None:
+                colors[i, :nv] = m.colors
+            n = m.normals if m.normals is not None else m.compute_vertex_normals()
+            normals[i, :nv] = n
+            vert_valid[i, :nv] = True
+            face_valid[i, :nf] = True
+            diams[i] = diameters[i] if diameters is not None else m.diameter
+        return cls(verts, faces, colors, normals, vert_valid, face_valid, diams,
+                   class_names)
+
+    @classmethod
+    def from_dir(cls, mesh_dir: str, ext: str = ".ply", pad_multiple: int = 8,
+                 diameters=None) -> "MeshBank":
+        """Load obj_XXXXXX.ply files sorted by path (labels are the sorted
+        order minus 1, matching rendering.py:122-131)."""
+        if os.path.isdir(mesh_dir):
+            paths = sorted(glob(os.path.join(mesh_dir, "*" + ext)))
+        else:
+            paths = [mesh_dir]
+        if not paths:
+            raise FileNotFoundError(f"no {ext} meshes under {mesh_dir}")
+        meshes = [load_ply(p) for p in paths]
+        names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        return cls.from_meshes(meshes, pad_multiple, class_names=names,
+                               diameters=diameters)
+
+    def subsample(self, max_verts: int, seed: int = 0) -> "MeshBank":
+        """Vertex-bank subsample for losses (keeps full faces invalid);
+        used where the reference loads models_eval vertices only."""
+        rng = np.random.default_rng(seed)
+        c, v, _ = self.verts.shape
+        if v <= max_verts:
+            return self
+        verts = np.zeros((c, max_verts, 3), np.float32)
+        valid = np.zeros((c, max_verts), bool)
+        for i in range(c):
+            n = int(self.vert_valid[i].sum())
+            take = min(n, max_verts)
+            idx = rng.choice(n, size=take, replace=False)
+            verts[i, :take] = self.verts[i, idx]
+            valid[i, :take] = True
+        return MeshBank(
+            verts, np.zeros((c, 1, 3), np.int32), np.zeros_like(verts),
+            np.zeros_like(verts), valid, np.zeros((c, 1), bool),
+            self.diameters, self.class_names,
+        )
+
+
+def make_synthetic_bank(num_class: int = 3, kind: str = "cube",
+                        size: float = 60.0) -> MeshBank:
+    """Synthetic colored meshes for tests/benchmarks (no dataset needed)."""
+    meshes = []
+    for c in range(num_class):
+        s = size * (1.0 + 0.3 * c)
+        if kind == "cube":
+            v = np.array(
+                [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+                np.float32,
+            ) / 2.0
+            f = np.array(
+                [
+                    [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                    [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                    [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+                ],
+                np.int32,
+            )
+        else:  # icosphere-ish: subdivided octahedron
+            v = np.array(
+                [[s, 0, 0], [-s, 0, 0], [0, s, 0], [0, -s, 0], [0, 0, s], [0, 0, -s]],
+                np.float32,
+            ) / 2.0
+            f = np.array(
+                [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                 [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+                np.int32,
+            )
+        colors = (v - v.min(0)) / (v.max(0) - v.min(0) + 1e-9)
+        m = PlyMesh(v, f, colors=colors.astype(np.float32))
+        m.normals = m.compute_vertex_normals()
+        meshes.append(m)
+    return MeshBank.from_meshes(meshes)
