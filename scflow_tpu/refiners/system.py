@@ -1,0 +1,291 @@
+"""End-to-end training/inference step builders: render -> network -> losses.
+
+This is the functional replacement for the reference's BaseRefiner
+format/train/forward protocol (models/refiner/base_refiner.py:79-343 and
+scflow_refiner.py:184-258): one jitted function renders the batch at the
+reference poses on-device, runs the recurrent network, composes the
+sequence losses, and applies the optimizer update.
+"""
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scflow_tpu.geometry.flow import filter_flow_by_mask, flow_from_pose_and_depth
+from scflow_tpu.losses.basic import l1_loss, raft_loss
+from scflow_tpu.losses.point_matching import disentangle_point_matching_loss
+from scflow_tpu.render.renderer import render_batch
+from scflow_tpu.runtime.train_state import TrainState
+
+
+class LossAssets(NamedTuple):
+    """Padded vertex banks for the point-matching loss (models_eval meshes)."""
+
+    points: jnp.ndarray  # (C, V, 3)
+    valid: jnp.ndarray  # (C, V) bool
+    sym: jnp.ndarray  # (C,) bool
+    diameters: jnp.ndarray  # (C,)
+
+
+class RenderAssets(NamedTuple):
+    """Device-resident mesh bank for the renderer (models_1024 meshes)."""
+
+    verts: jnp.ndarray
+    faces: jnp.ndarray
+    face_valid: jnp.ndarray
+    colors: jnp.ndarray
+    normals: jnp.ndarray
+    vert_valid: jnp.ndarray
+
+    @classmethod
+    def from_bank(cls, bank) -> "RenderAssets":
+        return cls(
+            jnp.asarray(bank.verts),
+            jnp.asarray(bank.faces),
+            jnp.asarray(bank.face_valid),
+            jnp.asarray(bank.colors),
+            jnp.asarray(bank.normals),
+            jnp.asarray(bank.vert_valid),
+        )
+
+
+def loss_assets_from_bank(bank, symmetry_types: dict, mesh_diameter=None) -> LossAssets:
+    from scflow_tpu.losses.point_matching import sym_mask_from_types
+
+    diam = (
+        jnp.asarray(mesh_diameter, jnp.float32)
+        if mesh_diameter is not None
+        else jnp.asarray(bank.diameters)
+    )
+    return LossAssets(
+        points=jnp.asarray(bank.verts),
+        valid=jnp.asarray(bank.vert_valid),
+        sym=sym_mask_from_types(symmetry_types, bank.num_class),
+        diameters=diam,
+    )
+
+
+def render_and_normalize(
+    render_assets: RenderAssets,
+    ref_rotations,
+    ref_translations,
+    k,
+    labels,
+    image_size: Tuple[int, int],
+    norm_mean,
+    norm_std,
+    chunk: int = 64,
+):
+    """Render at the reference pose and normalize like the data pipeline
+    (base_refiner.py:153-166: image/255-space mean/std)."""
+    h, w = image_size
+    out = render_batch(
+        render_assets.verts,
+        render_assets.faces,
+        render_assets.face_valid,
+        render_assets.colors,
+        render_assets.normals,
+        render_assets.vert_valid,
+        ref_rotations,
+        ref_translations,
+        k,
+        labels,
+        h,
+        w,
+        chunk=chunk,
+    )
+    mean = jnp.asarray(norm_mean, jnp.float32) / 255.0
+    std = jnp.asarray(norm_std, jnp.float32) / 255.0
+    images = (out["images"] - mean) / std
+    return images, out["depths"], out["masks"]
+
+
+def scflow_sequence_losses(
+    out: Dict[str, jnp.ndarray],
+    gt_rotations,
+    gt_translations,
+    gt_flow,
+    rendered_masks,
+    labels,
+    assets: LossAssets,
+    gamma: float = 0.8,
+    pose_weight: float = 10.0,
+    flow_weight: float = 0.1,
+    mask_weight: float = 10.0,
+    max_flow: float = 400.0,
+    disentangle_z: bool = True,
+    pose_loss_type: int = 1,
+):
+    """The 3-term exponentially-weighted sequence loss
+    (scflow_refiner.py:212-247)."""
+    T = out["rotations"].shape[0]
+    gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
+
+    log_vars: Dict[str, jnp.ndarray] = {}
+    loss_pose = loss_flow = loss_mask = 0.0
+    for i in range(T):
+        wi = gamma ** (T - 1 - i)
+        lp = disentangle_point_matching_loss(
+            out["rotations"][i], out["translations"][i],
+            gt_rotations, gt_translations, labels,
+            assets.points, assets.valid, assets.sym, assets.diameters,
+            loss_type=pose_loss_type, disentangle_z=disentangle_z,
+            loss_weight=pose_weight,
+        )
+        lf = raft_loss(
+            out["flow_from_pred"][i], gt_flow, valid=rendered_masks,
+            max_flow=max_flow,
+        ) * flow_weight
+        lm = l1_loss(out["masks"][i], gt_occ) * mask_weight
+        loss_pose += wi * lp
+        loss_flow += wi * lf
+        loss_mask += wi * lm
+        log_vars[f"seq_{i}_pose_loss"] = lp
+        log_vars[f"seq_{i}_flow_loss"] = lf
+        log_vars[f"seq_{i}_mask_loss"] = lm
+
+    loss = loss_pose + loss_flow + loss_mask
+    log_vars.update(
+        loss_pose=loss_pose, loss_flow=loss_flow, loss_mask=loss_mask, loss=loss
+    )
+    return loss, log_vars
+
+
+def make_scflow_train_step(
+    model,
+    render_assets: RenderAssets,
+    loss_assets: LossAssets,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    max_flow: float = 400.0,
+    filter_invalid_flow: bool = True,
+    loss_kwargs: Optional[Dict[str, Any]] = None,
+    render_chunk: int = 64,
+    donate: bool = True,
+):
+    """Returns jitted train_step(state, batch) -> (state, log_vars).
+
+    batch keys (device arrays, batch axis 0): real_images (N,H,W,3)
+    normalized, ref_rotations, ref_translations, gt_rotations,
+    gt_translations, labels, k, gt_masks (N,H,W).
+    """
+    loss_kwargs = dict(loss_kwargs or {})
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rendered_images, rendered_depths, rendered_masks = render_and_normalize(
+            render_assets,
+            batch["ref_rotations"],
+            batch["ref_translations"],
+            batch["k"],
+            batch["labels"],
+            image_size,
+            norm_mean,
+            norm_std,
+            chunk=render_chunk,
+        )
+        gt_flow = flow_from_pose_and_depth(
+            batch["ref_rotations"], batch["ref_translations"],
+            batch["gt_rotations"], batch["gt_translations"],
+            rendered_depths, batch["k"], invalid_num=max_flow,
+        )
+        if filter_invalid_flow:
+            gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"], max_flow)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out, updates = model.apply(
+                variables,
+                rendered_images,
+                batch["real_images"],
+                batch["ref_rotations"],
+                batch["ref_translations"],
+                rendered_depths,
+                batch["k"],
+                batch["labels"],
+                train=True,
+                mutable=mutable,
+            )
+            loss, log_vars = scflow_sequence_losses(
+                out,
+                batch["gt_rotations"],
+                batch["gt_translations"],
+                gt_flow,
+                rendered_masks,
+                batch["labels"],
+                loss_assets,
+                max_flow=max_flow,
+                **loss_kwargs,
+            )
+            new_bs = updates.get("batch_stats") if mutable else None
+            return loss, (log_vars, new_bs)
+
+        (loss, (log_vars, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        log_vars["grad_norm"] = optax_global_norm(grads)
+        return new_state, log_vars
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+
+
+def make_scflow_infer_fn(
+    model,
+    render_assets: RenderAssets,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    iters: Optional[int] = None,
+    render_chunk: int = 64,
+):
+    """Returns jitted infer(variables, batch) -> dict with final rotations /
+    translations (patch-intrinsics frame; host code remaps to the original
+    image, pose.py:264-309) plus the full prediction sequences."""
+
+    @partial(jax.jit, static_argnames=())
+    def infer(variables, batch):
+        rendered_images, rendered_depths, _ = render_and_normalize(
+            render_assets,
+            batch["ref_rotations"],
+            batch["ref_translations"],
+            batch["k"],
+            batch["labels"],
+            image_size,
+            norm_mean,
+            norm_std,
+            chunk=render_chunk,
+        )
+        out = model.apply(
+            variables,
+            rendered_images,
+            batch["real_images"],
+            batch["ref_rotations"],
+            batch["ref_translations"],
+            rendered_depths,
+            batch["k"],
+            batch["labels"],
+            iters=iters,
+            train=False,
+        )
+        return {
+            "rotations": out["rotations"][-1],
+            "translations": out["translations"][-1],
+            "seq_rotations": out["rotations"],
+            "seq_translations": out["translations"],
+            "masks": out["masks"][-1],
+            "flow": out["flow_from_pred"][-1],
+        }
+
+    return infer

