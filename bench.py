@@ -1,0 +1,105 @@
+"""Benchmark: SCFlow pose-refinement throughput on the flagship config.
+
+Measures end-to-end refinements/sec/chip for the full inference path —
+on-device rendering at the reference pose + 3 encoder passes + 8 GRU
+shape-constraint iterations at 256x256 — i.e. what `test.py` times per image
+in the reference (test.py:116-120), but batched.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md).  We use the
+driver north-star denominator: an A100 PyTorch reference estimated at
+~55 refinements/s (per-image ~18ms at batch 16 for render + 3 CNN passes +
+8 GRU iterations; consistent with the RAFT-family latency the reference
+prints per image).  vs_baseline = ours / 55.0 — i.e. the '5x' goal reads as
+vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_TORCH_REFINEMENTS_PER_SEC = 55.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scflow_tpu.refiners import SCFlowRefiner
+    from scflow_tpu.refiners.system import RenderAssets, make_scflow_infer_fn
+    from scflow_tpu.render.meshbank import make_synthetic_bank
+
+    batch = 16
+    img = 256
+    iters = 8
+    nclass = 21
+
+    bank = make_synthetic_bank(nclass, kind="cube", size=80.0)
+    render_assets = RenderAssets.from_bank(bank)
+
+    model = SCFlowRefiner(
+        iters=iters,
+        detach_depth_for_xy=True,
+        pose_head_cfg=dict(
+            type="MultiClassPoseHead", num_class=nclass, in_channels=224,
+            rotation_mode="ortho6d",
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.normal(size=(batch, img, img, 3)).astype(np.float32) * 0.2)
+    K = jnp.asarray(
+        np.tile(
+            np.array(
+                [[[572.4, 0, img / 2], [0, 573.5, img / 2], [0, 0, 1]]], np.float32
+            ),
+            (batch, 1, 1),
+        )
+    )
+    R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32)[None], (batch, 1, 1)))
+    t = jnp.asarray(np.tile(np.array([[0, 0, 700.0]], np.float32), (batch, 1)))
+    labels = jnp.asarray(rng.integers(0, nclass, batch).astype(np.int32))
+
+    key = jax.random.PRNGKey(0)
+    depth0 = jnp.zeros((batch, img, img))
+    variables = model.init(key, real, real, R, t, depth0, K, labels)
+
+    infer = make_scflow_infer_fn(model, render_assets, image_size=(img, img))
+    bdict = {
+        "real_images": real,
+        "ref_rotations": R,
+        "ref_translations": t,
+        "k": K,
+        "labels": labels,
+    }
+
+    # warmup / compile
+    out = infer(variables, bdict)
+    jax.block_until_ready(out["rotations"])
+
+    n_rounds = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        out = infer(variables, bdict)
+    jax.block_until_ready(out["rotations"])
+    dt = time.perf_counter() - t0
+
+    refinements_per_sec = batch * n_rounds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scflow_refinements_per_sec_per_chip",
+                "value": round(refinements_per_sec, 2),
+                "unit": "refinements/s (256x256, 8 GRU iters, incl. on-device render)",
+                "vs_baseline": round(
+                    refinements_per_sec / A100_TORCH_REFINEMENTS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

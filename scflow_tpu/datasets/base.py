@@ -1,0 +1,386 @@
+"""BOP-format pose datasets: annotation loading, ADD(-S)/REP/AUC evaluation,
+and BOP result export.
+
+Reference: datasets/base_dataset.py.  Deviations recorded from SURVEY.md
+§2.4: the AUC metric is actually implemented here (item 4 — the reference
+requests 'auc' but ships no implementation and its metric assert rejects it).
+"""
+
+import glob
+import json
+import random
+from os import path as osp
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from scflow_tpu.datasets.pipelines.formatting import Compose
+from scflow_tpu.datasets.utils import ascii_table, dumps_json
+from scflow_tpu.geometry.host import project_3d_point
+from scflow_tpu.registry import DATASETS, build_dataset
+from scflow_tpu.render.ply import load_ply
+
+
+def add_auc(errors: np.ndarray, max_error: float = 100.0) -> float:
+    """Area under the ADD accuracy-threshold curve, thresholds 0..max_error
+    (PoseCNN-style VOCap).  Errors above max_error contribute zero."""
+    errors = np.sort(np.asarray(errors, np.float64))
+    n = len(errors)
+    if n == 0:
+        return 0.0
+    acc = np.arange(1, n + 1, dtype=np.float64) / n
+    mask = errors <= max_error
+    xs = np.concatenate([[0.0], errors[mask], [max_error]])
+    tail = acc[mask][-1] if mask.any() else 0.0
+    ys = np.concatenate([[0.0], acc[mask], [tail]])
+    # step function: recall jumps at each error value
+    ys_step = np.maximum.accumulate(ys)
+    return float(np.trapezoid(ys_step, xs) / max_error)
+
+
+@DATASETS.register_module("ConcatDataset")
+class ConcatDataset:
+    """Ratio-resampled dataset mixing (base_dataset.py:16-51) — the working
+    replacement for the reference's missing MultiSourceSampler (SURVEY.md
+    §2.4 item 2)."""
+
+    def __init__(self, dataset_configs, ratios=None):
+        self.datasets = [build_dataset(cfg) for cfg in dataset_configs]
+        self.class_names = self.datasets[0].class_names
+        self.meshes = self.datasets[0].meshes
+        self.mesh_symmetry_types = self.datasets[0].mesh_symmetry_types
+        self.mesh_diameter = self.datasets[0].mesh_diameter
+        self.ratios = ratios or [1.0] * len(self.datasets)
+        assert len(self.ratios) == len(self.datasets)
+        self.dataset_length = [
+            int(len(d) * r) for d, r in zip(self.datasets, self.ratios)
+        ]
+
+    def __len__(self):
+        return sum(self.dataset_length)
+
+    def __getitem__(self, index):
+        idx = index % len(self)
+        for d, n in zip(self.datasets, self.dataset_length):
+            if idx < n:
+                return d[idx % len(d)]
+            idx -= n
+        raise IndexError(index)
+
+
+class BaseDataset:
+    def __init__(
+        self,
+        data_root: str,
+        image_list: str,
+        keypoints_json: str,
+        class_names: tuple,
+        pipeline: Optional[list] = None,
+        gt_annots_root: Optional[str] = None,
+        target_label: Optional[list] = None,
+        label_mapping: Optional[dict] = None,
+        keypoints_num: int = 8,
+        meshes_eval: Optional[str] = None,
+        mesh_symmetry: dict = {},
+        mesh_diameter: list = [],
+        eval_vertices: int = 1000,
+    ):
+        self.data_root = data_root
+        self.keypoints_num = keypoints_num
+        self.class_names = class_names
+        self.label_mapping = label_mapping
+        self.target_label = target_label
+        self.mesh_symmetry_types = dict(mesh_symmetry)
+        self.mesh_diameter = np.array(mesh_diameter)
+        self.eval_vertices = eval_vertices
+        self.meshes = self._load_mesh(meshes_eval) if meshes_eval else None
+
+        if pipeline is not None:
+            self.transformer = Compose(pipeline)
+
+        self.img_files = self._load_image_list(image_list)
+        self.keypoints_3d = self._load_keypoints_3d(keypoints_json)
+        if self.label_mapping is not None:
+            self.inverse_label_mapping = {v: k for k, v in self.label_mapping.items()}
+        else:
+            self.inverse_label_mapping = {
+                i + 1: i + 1 for i in range(len(self.class_names))
+            }
+        if gt_annots_root is not None:
+            self.gt_annots_root = gt_annots_root
+            self.gt_seq_pose_annots = self._load_pose_annots()
+
+    # ---------------- loading ----------------
+
+    def _load_pose_annots(self):
+        pose_tmpl = "{:06d}/scene_gt.json"
+        info_tmpl = "{:06d}/scene_gt_info.json"
+        camera_tmpl = osp.join(self.gt_annots_root, "{:06d}/scene_camera.json")
+        sequences = sorted(
+            set(p.split(self.data_root)[1].split("/")[1] for p in self.img_files)
+        )
+        out = {}
+        for seq in sequences:
+            with open(osp.join(self.gt_annots_root, pose_tmpl.format(int(seq)))) as f:
+                pose = json.load(f)
+            with open(camera_tmpl.format(int(seq))) as f:
+                camera = json.load(f)
+            with open(osp.join(self.gt_annots_root, info_tmpl.format(int(seq)))) as f:
+                gt_info = json.load(f)
+            out[seq] = dict(pose=pose, camera=camera, gt_info=gt_info)
+        return out
+
+    def _load_mesh(self, mesh_path, ext=".ply"):
+        paths = (
+            sorted(glob.glob(osp.join(mesh_path, "*" + ext)))
+            if osp.isdir(mesh_path)
+            else [mesh_path]
+        )
+        return [load_ply(p) for p in paths]
+
+    def _eval_vertices_list(self):
+        return [
+            m.vertices[np.random.choice(m.vertices.shape[0], self.eval_vertices)]
+            for m in self.meshes
+        ]
+
+    def _load_image_list(self, img_list_file):
+        with open(img_list_file) as f:
+            return sorted(
+                osp.join(self.data_root, x.strip()) for x in f if x.strip()
+            )
+
+    def _load_keypoints_3d(self, keypoints_json):
+        with open(keypoints_json) as f:
+            kp = json.load(f)
+        return np.array(kp, np.float32).reshape(-1, self.keypoints_num, 3)
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def __getitem__(self, index):
+        results = self.getitem(index)
+        while results is None:
+            index = random.randint(0, len(self.img_files) - 1)
+            results = self.getitem(index)
+        return results
+
+    def getitem(self, index):
+        raise NotImplementedError
+
+    # ---------------- evaluation ----------------
+
+    def evaluate(self, results, logger=None,
+                 metric=dict(add=[0.05, 0.10, 0.20, 0.50], rep=[2, 5, 10, 20])):
+        """results: list of dicts with 'pred' {'labels','rotations',
+        'translations','scores'} and 'img_metas' {'img_path'} (original-image
+        frame poses).  Returns the tensorboard-style flat metric dict."""
+        supported = ["add", "rep", "auc"]
+        metrics = dict(metric)
+        for name in metrics:
+            assert name in supported, f"{name} not supported"
+
+        (gt_r, gt_t, pred_r, pred_t, labels, matched, ks) = self.match_results(results)
+        error_dict: Dict[str, np.ndarray] = {}
+        verts = self._eval_vertices_list()
+        err3n = np.ones_like(labels, dtype=np.float32)
+        err3 = np.full_like(labels, 110, dtype=np.float32)
+        err2 = np.full_like(labels, 50.0, dtype=np.float32)
+        if matched.any():
+            e3n, e2, e3 = self.eval_pose_error(
+                verts, gt_t[matched], gt_r[matched], pred_t[matched],
+                pred_r[matched], labels[matched], ks[matched],
+                self.mesh_symmetry_types, self.mesh_diameter,
+            )
+            err3n[matched] = e3n
+            err2[matched] = e2
+            err3[matched] = e3
+        error_dict["add"] = err3n
+        error_dict["rep"] = err2
+        error_dict["auc"] = err3  # unnormalized mm for the 100mm AUC
+
+        metric_dict, headers = self.parse_error_to_metric(
+            error_dict, labels, metrics, self.class_names
+        )
+        self.print_metric(metric_dict, headers, logger)
+        return self.parse_metric_to_tensorboard(metric_dict, headers)
+
+    def match_results(self, results):
+        """Match predictions to GT objects by obj_id; duplicate detections
+        resolved by best ADD (base_dataset.py:211-283)."""
+        gt_rs, gt_ts, pr_rs, pr_ts, ks, labels, valid = [], [], [], [], [], [], []
+        verts = self._eval_vertices_list()
+        for result in results:
+            image_path = result["img_metas"]["img_path"]
+            parts = image_path.rsplit("/", 3)
+            seq_name, img_name = parts[-3], parts[-1]
+            img_id = int(osp.splitext(img_name)[0])
+            seq_annots = self.gt_seq_pose_annots[seq_name]
+            gt_pose = seq_annots["pose"][str(img_id)]
+            camera = seq_annots["camera"][str(img_id)]
+            k = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+            pred = result["pred"]
+            pred_labels = np.asarray(pred["labels"]).copy()
+            pred_r = np.asarray(pred["rotations"])
+            pred_t = np.asarray(pred["translations"])
+            for i, l in enumerate(pred_labels):
+                pred_labels[i] = self.inverse_label_mapping[int(l) + 1]
+
+            for ann in gt_pose:
+                obj_id = ann["obj_id"]
+                gt_rotation = np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3)
+                gt_translation = np.array(ann["cam_t_m2c"], np.float32).reshape(-1)
+                gt_rs.append(gt_rotation)
+                gt_ts.append(gt_translation)
+                ks.append(k)
+                labels.append(obj_id)
+                matched_mask = pred_labels == obj_id
+                nm = int(matched_mask.sum())
+                if nm == 1:
+                    idx = int(np.nonzero(matched_mask)[0][0])
+                    pr_rs.append(pred_r[idx]); pr_ts.append(pred_t[idx]); valid.append(True)
+                elif nm > 1:
+                    e3n, _, _ = self.eval_pose_error(
+                        verts,
+                        np.repeat(gt_translation[None], nm, 0),
+                        np.repeat(gt_rotation[None], nm, 0),
+                        pred_t[matched_mask], pred_r[matched_mask],
+                        np.repeat(obj_id, nm) - 1,
+                        np.repeat(k[None], nm, 0),
+                        self.mesh_symmetry_types, self.mesh_diameter,
+                    )
+                    full = np.full(len(matched_mask), 100, np.float32)
+                    full[matched_mask] = e3n
+                    idx = int(np.argmin(full))
+                    pr_rs.append(pred_r[idx]); pr_ts.append(pred_t[idx]); valid.append(True)
+                else:
+                    pr_rs.append(np.zeros((3, 3), np.float32))
+                    pr_ts.append(np.zeros((3,), np.float32))
+                    valid.append(False)
+        return (
+            np.stack(gt_rs), np.stack(gt_ts), np.stack(pr_rs), np.stack(pr_ts),
+            np.asarray(labels, np.int64) - 1, np.asarray(valid, bool), np.stack(ks),
+        )
+
+    @staticmethod
+    def eval_pose_error(verts_list, gt_t, gt_r, pred_t, pred_r, labels, k,
+                        symmetry_types, mesh_diameters):
+        """ADD(-S) + 2D reprojection errors (base_dataset.py:378-424);
+        symmetric classes use nearest-neighbor matched ADD-S."""
+        n = len(gt_t)
+        e3n = np.zeros(n); e2 = np.zeros(n); e3 = np.zeros(n)
+        for i in np.unique(labels):
+            sel = labels == i
+            verts = verts_list[int(i)]
+            gt_2d, gt_3d = project_3d_point(
+                verts, k[sel], gt_r[sel], gt_t[sel], return_3d=True
+            )
+            pr_2d, pr_3d = project_3d_point(
+                verts, k[sel], pred_r[sel], pred_t[sel], return_3d=True
+            )
+            if symmetry_types.get(f"cls_{int(i) + 1}", False):
+                matched = []
+                for g3, p3 in zip(gt_3d, pr_3d):
+                    d = np.linalg.norm(g3[:, None] - p3[None], axis=-1)
+                    matched.append(p3[np.argmin(d, axis=-1)])
+                pr_3d = np.stack(matched)
+            err = np.linalg.norm(gt_3d - pr_3d, axis=-1).mean(axis=-1)
+            e3n[sel] = err / mesh_diameters[int(i)]
+            e3[sel] = err
+            e2[sel] = np.linalg.norm(gt_2d - pr_2d, axis=-1).mean(axis=-1)
+        return e3n, e2, e3
+
+    def parse_error_to_metric(self, error_dict, labels, metrics, classnames):
+        metric_dict = {"average": []}
+        headers = ["class"]
+        avg_total = []
+        classwise = {c: [] for c in classnames}
+        for metric, thresholds in metrics.items():
+            error = error_dict[metric]
+            if len(thresholds) == 0:
+                headers.append(metric)
+                per_class_vals = []
+                for l in range(len(classnames)):
+                    sel = labels == l
+                    if sel.sum() == 0:
+                        classwise[classnames[l]].append(-1)
+                    else:
+                        v = (
+                            add_auc(error[sel], 100.0)
+                            if metric == "auc"
+                            else float(error[sel].mean())
+                        )
+                        classwise[classnames[l]].append(v)
+                        per_class_vals.append(v)
+                avg_total.append(per_class_vals)
+            else:
+                for thr in thresholds:
+                    suffix = int(thr * 100) if thr < 1 else int(thr)
+                    headers.append("{}_{:0>2d}".format(metric, suffix))
+                avg = [[] for _ in thresholds]
+                for l in range(len(classnames)):
+                    err_l = error[labels == l]
+                    if err_l.shape[0] == 0:
+                        classwise[classnames[l]].extend([-1.0] * len(thresholds))
+                    else:
+                        for i, thr in enumerate(thresholds):
+                            p = float((err_l < thr).sum() / err_l.shape[0])
+                            classwise[classnames[l]].append(p)
+                            avg[i].append(p)
+                avg_total.extend(avg)
+        metric_dict.update(classwise)
+        metric_dict["average"] = [
+            sum(v) / len(v) if len(v) else -1.0 for v in avg_total
+        ]
+        return metric_dict, headers
+
+    def print_metric(self, metric_dict, headers, logger=None):
+        table = [headers]
+        for name, vals in metric_dict.items():
+            table.append([name] + [round(float(v), 4) for v in vals])
+        msg = "\n" + ascii_table(table)
+        if logger is not None:
+            logger.info(msg)
+        else:
+            print(msg)
+
+    def parse_metric_to_tensorboard(self, metric_dict, headers):
+        out = {}
+        for name, vals in metric_dict.items():
+            for i, h in enumerate(headers):
+                if h == "class":
+                    continue
+                out[f"{name}/{h}"] = vals[i - 1]
+        return out
+
+    # ---------------- export ----------------
+
+    def format_results(self, results, save_dir, time=None):
+        """BOP-format export: per-sequence scene_gt.json trees
+        (base_dataset.py:427-476)."""
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        sequence_gts: Dict[str, Dict] = {}
+        for result in results:
+            src_path = result["img_metas"]["img_path"]
+            dst_path = src_path.replace(self.data_root, save_dir)
+            seq_path = str(Path(dst_path).parents[1])
+            Path(seq_path).mkdir(parents=True, exist_ok=True)
+            sequence_gts.setdefault(seq_path, {})
+            img_id = str(int(Path(dst_path).stem))
+            assert img_id not in sequence_gts[seq_path]
+            pred = result["pred"]
+            preds = []
+            for i in range(len(pred["translations"])):
+                obj_id = self.inverse_label_mapping[int(pred["labels"][i]) + 1]
+                res = dict(
+                    cam_R_m2c=np.asarray(pred["rotations"][i]).reshape(-1).tolist(),
+                    cam_t_m2c=np.asarray(pred["translations"][i]).tolist(),
+                    obj_id=obj_id,
+                )
+                if time is not None:
+                    res["time"] = time
+                preds.append(res)
+            sequence_gts[seq_path][img_id] = preds
+        for seq_path, content in sequence_gts.items():
+            Path(seq_path, "scene_gt.json").write_text(dumps_json(content))

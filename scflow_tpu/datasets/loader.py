@@ -1,0 +1,154 @@
+"""Host-side data loading: multiprocess workers, per-host sharded sampling,
+fixed-shape batch collation, and device prefetch.
+
+This replaces the reference's torch DataLoader + DistributedSampler stack
+(train.py:48-84): each JAX process iterates its own shard of the index space
+(process_index/process_count), workers run the numpy pipeline, and batches
+collate to dense NHWC arrays ready for `jax.device_put` onto the data mesh.
+"""
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate_batch(samples: List[Dict], train: bool = True) -> Dict[str, np.ndarray]:
+    """Flatten per-image object patches into one dense batch (the reference
+    does this inside format_data_*, base_refiner.py:85-91,146-151).
+
+    Returns arrays keyed for the train/infer steps plus 'img_metas' (list,
+    host-only) and 'per_img_patch_num' for regrouping at eval."""
+    out: Dict[str, Any] = {}
+    per_img = [len(s["annots"]["labels"]) for s in samples]
+    out["per_img_patch_num"] = per_img
+    out["img_metas"] = [s["img_metas"] for s in samples]
+
+    imgs = np.concatenate([np.asarray(s["img"], np.float32) for s in samples], axis=0)
+    out["real_images"] = imgs
+
+    def cat(key, dtype=np.float32):
+        return np.concatenate(
+            [np.asarray(s["annots"][key], dtype) for s in samples], axis=0
+        )
+
+    a0 = samples[0]["annots"]
+    out["ref_rotations"] = cat("ref_rotations")
+    out["ref_translations"] = cat("ref_translations")
+    out["labels"] = cat("labels", np.int32)
+    out["k"] = cat("k")
+    if "gt_rotations" in a0:
+        out["gt_rotations"] = cat("gt_rotations")
+        out["gt_translations"] = cat("gt_translations")
+    if "gt_masks" in a0:
+        masks = []
+        for s in samples:
+            masks.append(s["annots"]["gt_masks"].to_array(np.float32))
+        out["gt_masks"] = np.concatenate(masks, axis=0)
+    for key in ("init_add_error", "init_rot_error", "init_trans_error"):
+        if key in a0:
+            out[key] = cat(key)
+    return out
+
+
+class DataLoader:
+    """Iterates dataset indices sharded per host, with a worker thread pool
+    running the (numpy) pipeline and an output prefetch queue."""
+
+    def __init__(
+        self,
+        dataset,
+        samples_per_step: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        infinite: bool = True,
+        collate_fn: Callable = collate_batch,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.samples_per_step = samples_per_step
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.infinite = infinite
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def _index_stream(self) -> Iterator[int]:
+        epoch = 0
+        n = len(self.dataset)
+        while True:
+            order = np.arange(n)
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + epoch)
+                order = rng.permutation(n)
+            shard = order[self.process_index :: self.process_count]
+            yield from shard.tolist()
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self):
+        idx_stream = self._index_stream()
+        sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 4)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for idx in idx_stream:
+                if stop.is_set():
+                    return
+                sample_q.put(idx)
+            for _ in range(self.num_workers):
+                sample_q.put(None)
+
+        results: "queue.Queue" = queue.Queue()
+
+        def worker():
+            while not stop.is_set():
+                idx = sample_q.get()
+                if idx is None:
+                    results.put(None)
+                    return
+                results.put(self.dataset[idx])
+
+        def batcher():
+            done_workers = 0
+            buf = []
+            while done_workers < self.num_workers and not stop.is_set():
+                item = results.get()
+                if item is None:
+                    done_workers += 1
+                    continue
+                buf.append(item)
+                if len(buf) == self.samples_per_step:
+                    out_q.put(self.collate_fn(buf))
+                    buf = []
+            if buf and not self.drop_last:
+                out_q.put(self.collate_fn(buf))
+            out_q.put(None)
+
+        threads = [threading.Thread(target=producer, daemon=True)]
+        threads += [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        threads.append(threading.Thread(target=batcher, daemon=True))
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

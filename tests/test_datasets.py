@@ -1,0 +1,265 @@
+"""Data-layer tests on a synthetic on-disk BOP dataset: pipeline end-to-end,
+collation, evaluation metrics and BOP export."""
+
+import json
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from scflow_tpu.datasets import (
+    BitmapMasks,
+    DataLoader,
+    RefineDataset,
+    SuperviseTrainDataset,
+    collate_batch,
+)
+from scflow_tpu.datasets.base import add_auc
+from scflow_tpu.render.meshbank import make_synthetic_bank
+
+
+IMG_HW = (120, 160)
+NCLASS = 2
+K = np.array([[140.0, 0, 80], [0, 140.0, 60], [0, 0, 1]], np.float32)
+
+
+def write_ply(path, verts, faces, colors=None):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for i, v in enumerate(verts):
+            line = f"{v[0]} {v[1]} {v[2]}"
+            if colors is not None:
+                c = (colors[i] * 255).astype(int)
+                line += f" {c[0]} {c[1]} {c[2]}"
+            f.write(line + "\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    """Synthetic single-sequence BOP layout with 3 images, 2 objects each."""
+    root = tmp_path_factory.mktemp("ycbv")
+    data = root / "train_real"
+    seq = data / "000001"
+    (seq / "rgb").mkdir(parents=True)
+    (seq / "mask_visib").mkdir(parents=True)
+    models = root / "models_eval"
+    models.mkdir()
+    bank = make_synthetic_bank(NCLASS, size=60.0)
+    for c in range(NCLASS):
+        v = bank.verts[c][bank.vert_valid[c]]
+        f = bank.faces[c][bank.face_valid[c]]
+        col = bank.colors[c][bank.vert_valid[c]]
+        write_ply(models / f"obj_{c + 1:06d}.ply", v, f, col)
+
+    rng = np.random.default_rng(0)
+    scene_gt, scene_info, scene_cam = {}, {}, {}
+    img_list = []
+    from scipy.spatial.transform import Rotation
+
+    for img_id in range(3):
+        img = rng.integers(0, 255, size=(*IMG_HW, 3), dtype=np.uint8)
+        cv2.imwrite(str(seq / "rgb" / f"{img_id:06d}.png"), img)
+        anns, infos = [], []
+        for oi in range(NCLASS):
+            R = Rotation.random(random_state=img_id * 10 + oi).as_matrix()
+            t = np.array([(oi - 0.5) * 60, 0, 500.0 + 30 * oi])
+            anns.append(
+                dict(
+                    cam_R_m2c=R.reshape(-1).tolist(),
+                    cam_t_m2c=t.tolist(),
+                    obj_id=oi + 1,
+                )
+            )
+            # mask: blob around the projected center
+            m = np.zeros(IMG_HW, np.uint8)
+            c2d = K @ t
+            cx, cy = int(c2d[0] / c2d[2]), int(c2d[1] / c2d[2])
+            cv2.circle(m, (cx, cy), 18, 255, -1)
+            cv2.imwrite(
+                str(seq / "mask_visib" / f"{img_id:06d}_{oi:06d}.png"), m
+            )
+            infos.append(
+                dict(
+                    bbox_obj=[cx - 20, cy - 20, 40, 40],
+                    bbox_visib=[cx - 20, cy - 20, 40, 40],
+                    visib_fract=1.0,
+                    px_count_visib=int((m > 0).sum()),
+                )
+            )
+        scene_gt[str(img_id)] = anns
+        scene_info[str(img_id)] = infos
+        scene_cam[str(img_id)] = dict(cam_K=K.reshape(-1).tolist(), depth_scale=1.0)
+        img_list.append(f"000001/rgb/{img_id:06d}.png")
+
+    (seq / "scene_gt.json").write_text(json.dumps(scene_gt))
+    (seq / "scene_gt_info.json").write_text(json.dumps(scene_info))
+    (seq / "scene_camera.json").write_text(json.dumps(scene_cam))
+    (root / "image_lists").mkdir()
+    (root / "image_lists" / "train.txt").write_text("\n".join(img_list))
+    # 8 bbox-corner keypoints per class
+    kps = []
+    for c in range(NCLASS):
+        v = bank.verts[c][bank.vert_valid[c]]
+        mn, mx = v.min(0), v.max(0)
+        corners = [
+            [float(x), float(y), float(z)]
+            for x in (mn[0], mx[0]) for y in (mn[1], mx[1]) for z in (mn[2], mx[2])
+        ]
+        kps.append(corners)
+    (root / "keypoints.json").write_text(json.dumps(kps))
+    return root
+
+
+def make_train_pipeline(root, image_scale=64):
+    return [
+        dict(type="LoadImages", color_type="unchanged"),
+        dict(type="LoadMasks"),
+        dict(
+            type="PoseJitter",
+            jitter_angle_dis=(0, 15), jitter_x_dis=(0, 15),
+            jitter_y_dis=(0, 15), jitter_z_dis=(0, 50),
+            angle_limit=45, translation_limit=200, add_limit=1.0,
+            mesh_dir=str(root / "models_eval"),
+            mesh_diameter=[110.0, 140.0],
+            jitter_pose_field=["gt_rotations", "gt_translations"],
+            jittered_pose_field=["ref_rotations", "ref_translations"],
+        ),
+        dict(type="ComputeBbox", mesh_dir=str(root / "models_eval"), clip_border=False),
+        dict(type="Crop", size_range=(1.0, 1.25), crop_bbox_field="ref_bboxes",
+             clip_border=False, pad_val=128),
+        dict(type="RandomHSV", h_ratio=0.2, s_ratio=0.5, v_ratio=0.5),
+        dict(type="RandomNoise", noise_ratio=0.1),
+        dict(type="RandomSmooth", max_kernel_size=5.0),
+        dict(type="Resize", img_scale=image_scale, keep_ratio=True),
+        dict(type="Pad", size=(image_scale, image_scale), center=True,
+             pad_val=dict(img=(128, 128, 128), mask=0)),
+        dict(type="RemapPose", keep_intrinsic=False),
+        dict(type="Normalize", mean=[0.0, 0.0, 0.0], std=[255.0, 255.0, 255.0],
+             to_rgb=True),
+        dict(type="ToTensor", stack_keys=[]),
+        dict(type="Collect",
+             annot_keys=["ref_rotations", "ref_translations", "gt_rotations",
+                         "gt_translations", "gt_masks", "init_add_error",
+                         "init_rot_error", "init_trans_error", "k", "labels"],
+             meta_keys=("img_path", "ori_shape", "ori_k", "img_shape",
+                        "img_norm_cfg", "scale_factor", "transform_matrix",
+                        "ori_gt_rotations", "ori_gt_translations")),
+    ]
+
+
+@pytest.fixture(scope="module")
+def train_dataset(bop_root):
+    return SuperviseTrainDataset(
+        data_root=str(bop_root / "train_real"),
+        gt_annots_root=str(bop_root / "train_real"),
+        image_list=str(bop_root / "image_lists" / "train.txt"),
+        keypoints_json=str(bop_root / "keypoints.json"),
+        pipeline=make_train_pipeline(bop_root),
+        class_names=("obj_a", "obj_b"),
+        keypoints_num=8,
+        sample_num=1,
+        mesh_symmetry={"cls_2": {}},
+        meshes_eval=str(bop_root / "models_eval"),
+        mesh_diameter=[110.0, 140.0],
+    )
+
+
+class TestTrainDataset:
+    def test_getitem_pipeline(self, train_dataset):
+        s = train_dataset[0]
+        assert s["img"].shape == (1, 64, 64, 3)
+        a = s["annots"]
+        assert a["ref_rotations"].shape == (1, 3, 3)
+        assert a["gt_masks"].to_array().shape == (1, 64, 64)
+        assert a["k"].shape == (1, 3, 3)
+        # jitter produced a different reference pose within limits
+        assert not np.allclose(a["ref_rotations"], a["gt_rotations"])
+        assert float(a["init_rot_error"][0]) <= 45.0
+        # adapt_intrinsic: transform matrix accumulated into k
+        tm = s["img_metas"]["transform_matrix"]
+        np.testing.assert_allclose(
+            a["k"][0], tm[0] @ s["img_metas"]["ori_k"][0], rtol=1e-4
+        )
+
+    def test_collate_and_loader(self, train_dataset):
+        loader = DataLoader(train_dataset, samples_per_step=2, num_workers=2,
+                            infinite=False, shuffle=False)
+        batch = next(iter(loader))
+        assert batch["real_images"].shape == (2, 64, 64, 3)
+        assert batch["labels"].shape == (2,)
+        assert batch["gt_masks"].shape == (2, 64, 64)
+        assert batch["per_img_patch_num"] == [1, 1]
+
+    def test_census_table(self, train_dataset):
+        assert "valid_sample_num" in train_dataset.total_sample_num
+
+
+class TestEvaluation:
+    def _results(self, train_dataset, noise=0.0):
+        results = []
+        for img_id in range(3):
+            seq = train_dataset.gt_seq_pose_annots["000001"]
+            anns = seq["pose"][str(img_id)]
+            rot = np.stack(
+                [np.array(a["cam_R_m2c"], np.float32).reshape(3, 3) for a in anns]
+            )
+            tr = np.stack(
+                [np.array(a["cam_t_m2c"], np.float32).reshape(-1) for a in anns]
+            )
+            tr = tr + noise
+            results.append(
+                dict(
+                    pred=dict(
+                        labels=np.array([0, 1]),
+                        rotations=rot,
+                        translations=tr,
+                        scores=np.ones(2, np.float32),
+                    ),
+                    img_metas=dict(
+                        img_path=train_dataset.img_files[img_id]
+                    ),
+                )
+            )
+        return results
+
+    def test_perfect_predictions_full_recall(self, train_dataset):
+        out = train_dataset.evaluate(
+            self._results(train_dataset, 0.0),
+            metric={"auc": [], "add": [0.05, 0.1, 0.2, 0.5], "rep": [2, 5]},
+        )
+        assert out["average/add_10"] == 1.0
+        assert out["average/rep_05"] == 1.0
+        assert out["average/auc"] > 0.99
+
+    def test_bad_predictions_low_recall(self, train_dataset):
+        out = train_dataset.evaluate(
+            self._results(train_dataset, 500.0), metric={"add": [0.05, 0.1]}
+        )
+        assert out["average/add_10"] == 0.0
+
+    def test_add_auc(self):
+        assert add_auc(np.zeros(10), 100.0) > 0.99
+        assert add_auc(np.full(10, 1000.0), 100.0) == 0.0
+        mid = add_auc(np.full(10, 50.0), 100.0)
+        assert 0.45 < mid < 0.55
+
+    def test_format_results_bop_export(self, train_dataset, tmp_path):
+        res = self._results(train_dataset)
+        train_dataset.format_results(res, str(tmp_path / "bop"), time=0.05)
+        out = json.loads(
+            (tmp_path / "bop" / "000001" / "scene_gt.json").read_text()
+        )
+        assert set(out.keys()) == {"0", "1", "2"}
+        assert out["0"][0]["obj_id"] == 1
+        assert out["0"][0]["time"] == 0.05
+        assert len(out["0"][0]["cam_R_m2c"]) == 9
