@@ -1,0 +1,112 @@
+"""Checkpointing: orbax save/restore of the functional train state, with
+iteration-interval and best-metric tracking (reference mmcv
+checkpoint_config + save_best, configs/refine_models/scflow.py:132-141)."""
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    def __init__(self, work_dir: str, max_to_keep: int = 5):
+        self.work_dir = os.path.abspath(work_dir)
+        os.makedirs(self.work_dir, exist_ok=True)
+        ocp = _ocp()
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.work_dir, "checkpoints"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self._best_path = os.path.join(self.work_dir, "best.json")
+
+    def save(self, step: int, state, extra: Optional[Dict[str, Any]] = None):
+        ocp = _ocp()
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.batch_stats is not None:
+            payload["batch_stats"] = state.batch_stats
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        ocp = _ocp()
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return state, 0
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.batch_stats is not None:
+            template["batch_stats"] = state.batch_stats
+        restored = self._mgr.restore(step, args=_ocp().args.StandardRestore(template))
+        new_state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+        )
+        return new_state, int(step)
+
+    def maybe_save_best(self, step: int, state, metric_name: str, value: float,
+                        rule: str = "greater") -> bool:
+        best = None
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                best = json.load(f)
+        better = (
+            best is None
+            or (rule == "greater" and value > best["value"])
+            or (rule == "less" and value < best["value"])
+        )
+        if better:
+            ocp = _ocp()
+            path = os.path.join(self.work_dir, "best_ckpt")
+            ckptr = ocp.StandardCheckpointer()
+            payload = {"params": state.params}
+            if state.batch_stats is not None:
+                payload["batch_stats"] = state.batch_stats
+            if os.path.exists(path):
+                import shutil
+
+                shutil.rmtree(path)
+            ckptr.save(path, payload)
+            ckptr.wait_until_finished()
+            with open(self._best_path, "w") as f:
+                json.dump({"metric": metric_name, "value": value, "step": step}, f)
+        return better
+
+
+def save_params(path: str, params, batch_stats=None):
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    ckptr.save(os.path.abspath(path), payload)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template=None):
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
+    return ckptr.restore(os.path.abspath(path))

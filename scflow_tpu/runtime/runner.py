@@ -1,0 +1,208 @@
+"""Iteration-based training runner with hooks — the functional replacement
+for mmcv's IterBasedRunner + hook stack (reference train.py:152-213).
+
+The runner owns: the jitted train step, the data iterator, periodic hooks
+(logging, checkpointing, evaluation with best-model tracking), resume, and
+crash-safe checkpoint cadence.  All device work stays inside the train step;
+hooks only consume host copies of the logs.
+"""
+
+import os
+import time
+from collections import deque
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from scflow_tpu.runtime.checkpoint import CheckpointManager
+from scflow_tpu.utils.logging import get_logger
+
+
+class Hook:
+    def before_run(self, runner):
+        pass
+
+    def after_train_iter(self, runner):
+        pass
+
+    def after_run(self, runner):
+        pass
+
+
+class TextLoggerHook(Hook):
+    def __init__(self, interval: int = 50, smooth_window: int = 50):
+        self.interval = interval
+        self.window = smooth_window
+        self._hist: Dict[str, deque] = {}
+        self._t0 = None
+        self._last_step = 0
+
+    def before_run(self, runner):
+        self._t0 = time.perf_counter()
+        self._last_step = int(runner.step)
+
+    def after_train_iter(self, runner):
+        for k, v in runner.last_log.items():
+            self._hist.setdefault(k, deque(maxlen=self.window)).append(float(v))
+        if runner.step % self.interval != 0:
+            return
+        dt = time.perf_counter() - self._t0
+        steps = runner.step - self._last_step
+        ips = steps / dt if dt > 0 else 0.0
+        self._t0 = time.perf_counter()
+        self._last_step = runner.step
+        msg = ", ".join(
+            f"{k}: {np.mean(v):.4f}" for k, v in sorted(self._hist.items())
+            if not k.startswith("seq_")
+        )
+        lr = runner.current_lr()
+        runner.logger.info(
+            f"Iter [{runner.step}/{runner.max_iters}] lr: {lr:.3e}, "
+            f"{ips:.2f} it/s, {msg}"
+        )
+
+
+class CheckpointHook(Hook):
+    def __init__(self, interval: int = 10000):
+        self.interval = interval
+
+    def after_train_iter(self, runner):
+        if runner.step % self.interval == 0 and runner.ckpt_manager is not None:
+            runner.ckpt_manager.save(runner.step, runner.state)
+            runner.logger.info(f"Saved checkpoint at iter {runner.step}")
+
+    def after_run(self, runner):
+        if runner.ckpt_manager is not None:
+            runner.ckpt_manager.save(runner.step, runner.state)
+
+
+class EvalHook(Hook):
+    def __init__(self, eval_fn: Callable[[Any], Dict[str, float]],
+                 interval: int = 5000, save_best: Optional[str] = None,
+                 rule: str = "greater"):
+        self.eval_fn = eval_fn
+        self.interval = interval
+        self.save_best = save_best
+        self.rule = rule
+
+    def after_train_iter(self, runner):
+        if runner.step % self.interval != 0:
+            return
+        metrics = self.eval_fn(runner.state)
+        msg = ", ".join(f"{k}: {v:.4f}" for k, v in sorted(metrics.items())[:12])
+        runner.logger.info(f"Eval at iter {runner.step}: {msg}")
+        runner.eval_history.append((runner.step, metrics))
+        if self.save_best and runner.ckpt_manager is not None:
+            val = metrics.get(self.save_best)
+            if val is not None and runner.ckpt_manager.maybe_save_best(
+                runner.step, runner.state, self.save_best, float(val), self.rule
+            ):
+                runner.logger.info(
+                    f"New best {self.save_best}={val:.4f} at iter {runner.step}"
+                )
+
+
+class TensorboardHook(Hook):
+    """Scalar + image logging (reference TensorboardImgLoggerHook,
+    models/utils/tensorboard_hook.py:10-60)."""
+
+    def __init__(self, log_dir: str, interval: int = 50, image_interval: int = 0,
+                 image_fn: Optional[Callable] = None):
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir)
+        self.interval = interval
+        self.image_interval = image_interval
+        self.image_fn = image_fn
+
+    def after_train_iter(self, runner):
+        if runner.step % self.interval == 0:
+            for k, v in runner.last_log.items():
+                self.writer.add_scalar(f"train/{k}", float(v), runner.step)
+            self.writer.add_scalar("train/lr", runner.current_lr(), runner.step)
+        if (
+            self.image_interval
+            and self.image_fn is not None
+            and runner.step % self.image_interval == 0
+        ):
+            for name, img in self.image_fn(runner).items():
+                self.writer.add_image(name, img, runner.step, dataformats="HWC")
+
+    def after_run(self, runner):
+        self.writer.close()
+
+
+class IterRunner:
+    def __init__(
+        self,
+        train_step: Callable,
+        state,
+        data_iter: Iterable,
+        max_iters: int,
+        work_dir: str = "work_dirs/default",
+        hooks: Optional[List[Hook]] = None,
+        lr_schedule: Optional[Callable] = None,
+        put_batch: Optional[Callable] = None,
+        logger=None,
+        ckpt_max_keep: int = 5,
+        nan_check: bool = False,
+    ):
+        self.train_step = train_step
+        self.state = state
+        self.data_iter = iter(data_iter)
+        self.max_iters = max_iters
+        self.work_dir = work_dir
+        self.hooks = hooks or []
+        self.lr_schedule = lr_schedule
+        self.put_batch = put_batch or (lambda b: b)
+        self.logger = logger or get_logger("scflow_tpu")
+        self.step = int(jax.device_get(state.step))
+        self.last_log: Dict[str, float] = {}
+        self.eval_history: List = []
+        self.nan_check = nan_check
+        os.makedirs(work_dir, exist_ok=True)
+        self.ckpt_manager = CheckpointManager(work_dir, max_to_keep=ckpt_max_keep)
+
+    def current_lr(self) -> float:
+        if self.lr_schedule is None:
+            return 0.0
+        if callable(self.lr_schedule):
+            return float(self.lr_schedule(self.step))
+        return float(self.lr_schedule)
+
+    def resume(self, step: Optional[int] = None):
+        self.state, restored = self.ckpt_manager.restore(self.state, step)
+        self.step = int(jax.device_get(self.state.step))
+        if restored:
+            self.logger.info(f"Resumed from iter {self.step}")
+        return self.step
+
+    def run(self):
+        for h in self.hooks:
+            h.before_run(self)
+        self.logger.info(
+            f"Start training: iter {self.step} -> {self.max_iters}, "
+            f"work_dir={self.work_dir}"
+        )
+        while self.step < self.max_iters:
+            batch = next(self.data_iter)
+            host_extras = {
+                k: batch.pop(k)
+                for k in list(batch)
+                if k in ("img_metas", "per_img_patch_num")
+            }
+            device_batch = self.put_batch(batch)
+            self.state, logs = self.train_step(self.state, device_batch)
+            self.step += 1
+            self.last_log = {k: float(jax.device_get(v)) for k, v in logs.items()}
+            if self.nan_check and not np.isfinite(self.last_log.get("loss", 0.0)):
+                raise FloatingPointError(
+                    f"non-finite loss at iter {self.step}: {self.last_log}"
+                )
+            for h in self.hooks:
+                h.after_train_iter(self)
+        for h in self.hooks:
+            h.after_run(self)
+        self.logger.info("Training finished")
+        return self.state
