@@ -1,0 +1,211 @@
+"""High-level build APIs: config dict -> model / assets / train step /
+infer fn / runner.  Used by tools/train.py and tools/test.py."""
+
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scflow_tpu.datasets import DataLoader, build_dataset
+from scflow_tpu.losses.point_matching import sym_mask_from_types
+from scflow_tpu.parallel import make_mesh, replicate, shard_batch
+from scflow_tpu.refiners import build_refiner_from_config
+from scflow_tpu.refiners.flow_pose import solve_poses_from_flow
+from scflow_tpu.refiners.system import (
+    LossAssets,
+    RenderAssets,
+    make_raft_infer_fn,
+    make_raft_train_step,
+    make_scflow_infer_fn,
+    make_scflow_train_step,
+)
+from scflow_tpu.render.meshbank import MeshBank
+from scflow_tpu.runtime import (
+    CheckpointHook,
+    EvalHook,
+    IterRunner,
+    TensorboardHook,
+    TextLoggerHook,
+    TrainState,
+    build_optimizer,
+    convert_torch_checkpoint,
+    load_params,
+)
+from scflow_tpu.runtime.eval_loop import single_process_test
+from scflow_tpu.utils.logging import get_logger
+
+
+def build_render_assets(model_cfg: Dict) -> Tuple[RenderAssets, MeshBank]:
+    rcfg = model_cfg.get("renderer", {})
+    bank = MeshBank.from_dir(rcfg["mesh_dir"])
+    return RenderAssets.from_bank(bank), bank
+
+
+def build_loss_assets(model_cfg: Dict, num_class: int) -> Optional[LossAssets]:
+    pcfg = model_cfg.get("pose_loss_cfg", {}).get("loss_func_cfg", {})
+    mesh_path = pcfg.get("mesh_path")
+    if mesh_path is None:
+        return None
+    bank = MeshBank.from_dir(mesh_path, diameters=pcfg.get("mesh_diameter"))
+    return LossAssets(
+        points=jnp.asarray(bank.verts),
+        valid=jnp.asarray(bank.vert_valid),
+        sym=sym_mask_from_types(pcfg.get("symmetry_types", {}), bank.num_class),
+        diameters=jnp.asarray(bank.diameters),
+    )
+
+
+def init_model_variables(cfg, model, image_size=(256, 256), num_class=21,
+                         seed: int = 0):
+    h, w = image_size
+    n = 2
+    key = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((n, h, w, 3))
+    R = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
+    t = jnp.tile(jnp.asarray([[0.0, 0.0, 700.0]]), (n, 1))
+    K = jnp.tile(jnp.asarray([[[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]]]), (n, 1, 1))
+    labels = jnp.zeros((n,), jnp.int32)
+    mtype = cfg["type"]
+    if mtype == "SCFlowRefiner":
+        return model.init(key, dummy, dummy, R, t, jnp.zeros((n, h, w)), K, labels)
+    return model.init(key, dummy, dummy)
+
+
+def load_init_weights(cfg_model, variables, logger=None):
+    """Apply init_cfg Pretrained: torch .pth via the converter, or an orbax
+    params dir."""
+    logger = logger or get_logger("scflow_tpu")
+    init_cfg = cfg_model.get("init_cfg") or {}
+    path = init_cfg.get("checkpoint")
+    if init_cfg.get("type") != "Pretrained" or not path:
+        return variables
+    if not os.path.exists(path):
+        logger.warning(f"init checkpoint {path} not found; using random init")
+        return variables
+    if path.endswith((".pth", ".pt")):
+        logger.info(f"Converting torch init checkpoint {path}")
+        enc_norm = cfg_model.get("encoder", {}).get("norm_cfg", {}).get("type", "IN")
+        cxt_norm = cfg_model.get("cxt_encoder", {}).get("norm_cfg", {}).get("type", "BN")
+        return convert_torch_checkpoint(
+            path, jax.tree_util.tree_map(np.asarray, variables),
+            encoder_norm=enc_norm, cxt_norm=cxt_norm, strict=False,
+        )
+    logger.info(f"Loading orbax init params {path}")
+    restored = load_params(path, jax.tree_util.tree_map(np.asarray, variables))
+    return restored
+
+
+def load_eval_checkpoint(path, variables, cfg_model=None, logger=None):
+    """Load weights for testing (orbax params dir, orbax run dir, or torch)."""
+    logger = logger or get_logger("scflow_tpu")
+    if path.endswith((".pth", ".pt")):
+        cfg_model = cfg_model or {}
+        enc_norm = cfg_model.get("encoder", {}).get("norm_cfg", {}).get("type", "IN")
+        cxt_norm = cfg_model.get("cxt_encoder", {}).get("norm_cfg", {}).get("type", "BN")
+        return convert_torch_checkpoint(
+            path, jax.tree_util.tree_map(np.asarray, variables),
+            encoder_norm=enc_norm, cxt_norm=cxt_norm, strict=False,
+        )
+    template = {"params": jax.tree_util.tree_map(np.asarray, variables["params"])}
+    if "batch_stats" in variables:
+        template["batch_stats"] = jax.tree_util.tree_map(
+            np.asarray, variables["batch_stats"]
+        )
+    restored = load_params(path, template)
+    out = dict(variables)
+    out["params"] = restored["params"]
+    if "batch_stats" in restored:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
+def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
+                             image_size=(256, 256)):
+    mcfg = cfg.model
+    mtype = mcfg["type"]
+    if mtype == "SCFlowRefiner":
+        pose_lf = mcfg.get("pose_loss_cfg", {}).get("loss_func_cfg", {})
+        flow_lf = mcfg.get("flow_loss_cfg", {}).get("loss_func_cfg", {})
+        mask_lf = mcfg.get("mask_loss_cfg", {}).get("loss_func_cfg", {})
+        loss_kwargs = dict(
+            gamma=mcfg.get("pose_loss_cfg", {}).get("gamma", 0.8),
+            pose_weight=pose_lf.get("loss_weight", 10.0),
+            flow_weight=flow_lf.get("loss_weight", 0.1),
+            mask_weight=mask_lf.get("loss_weight", 10.0),
+            disentangle_z=pose_lf.get("disentangle_z", True),
+            pose_loss_type=int(pose_lf.get("loss_type", "l1")[-1]),
+        )
+        return make_scflow_train_step(
+            model, render_assets, loss_assets, image_size=image_size,
+            max_flow=mcfg.get("max_flow", 400.0),
+            filter_invalid_flow=mcfg.get("filter_invalid_flow", True),
+            loss_kwargs=loss_kwargs,
+        )
+    flow_lf = mcfg.get("flow_loss_cfg", {}).get("loss_func_cfg", {})
+    occ_lf = mcfg.get("occlusion_loss_cfg", {}).get("loss_func_cfg", {})
+    return make_raft_train_step(
+        model, render_assets, image_size=image_size,
+        max_flow=mcfg.get("max_flow", 400.0),
+        filter_invalid_flow_by_mask=mcfg.get("filter_invalid_flow_by_mask", True),
+        filter_invalid_flow_by_depth=mcfg.get("filter_invalid_flow_by_depth", False),
+        gamma=mcfg.get("flow_loss_cfg", {}).get("gamma", 0.8),
+        flow_weight=flow_lf.get("loss_weight", 1.0),
+        occlusion_weight=occ_lf.get("loss_weight", 100.0),
+    )
+
+
+def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
+    """Returns (infer_fn, pose_from_output) for the eval loop."""
+    mcfg = cfg.model
+    test_cfg = mcfg.get("test_cfg", {})
+    iters = test_cfg.get("iters")
+    if mcfg["type"] == "SCFlowRefiner":
+        return (
+            make_scflow_infer_fn(model, render_assets, image_size=image_size,
+                                 iters=iters),
+            None,
+        )
+    infer = make_raft_infer_fn(model, render_assets, image_size=image_size,
+                               iters=iters)
+
+    def pose_from_output(out, batch, n):
+        R, t, ok = solve_poses_from_flow(
+            np.asarray(out["flow"])[:n],
+            np.asarray(out["rendered_depths"])[:n],
+            np.asarray(batch["ref_rotations"])[:n],
+            np.asarray(batch["ref_translations"])[:n],
+            np.asarray(batch["k"])[:n],
+            occlusion=np.asarray(out["occlusion"])[:n] if "occlusion" in out else None,
+            occ_thresh=test_cfg.get("occ_thresh", 0.5),
+            sample_points=test_cfg.get("sample_points"),
+            reprojection_error=test_cfg.get("solve_pose_param", {}).get(
+                "reprojectionerror", 3.0
+            ),
+        )
+        return R, t
+
+    return infer, pose_from_output
+
+
+def build_eval_fn(cfg, model, render_assets, dataset, image_size=(256, 256)):
+    """EvalHook callable: state -> flat metric dict."""
+    infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
+                                                  image_size)
+    metric = cfg.get("evaluation", {}).get(
+        "metric", {"add": [0.05, 0.10, 0.20, 0.50]}
+    )
+
+    def eval_fn(state):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        results = single_process_test(
+            variables, infer, dataset, pose_from_output=pose_from_output,
+            progress_interval=0,
+        )
+        return dataset.evaluate(results, metric=metric)
+
+    return eval_fn

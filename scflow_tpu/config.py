@@ -66,11 +66,23 @@ def _exec_config_file(filename: str) -> Dict[str, Any]:
         code = f.read()
     module = types.ModuleType("_scflow_cfg_")
     module.__file__ = filename
+
+    def load_cfg_vars(relpath: str) -> Dict[str, Any]:
+        """Available inside config files: the raw variables of another config
+        (resolved relative to this file) for pipeline surgery etc."""
+        path = relpath if os.path.isabs(relpath) else os.path.join(
+            os.path.dirname(filename), relpath
+        )
+        return _exec_config_file(path)
+
+    module.load_cfg_vars = load_cfg_vars
     exec(compile(code, filename, "exec"), module.__dict__)
     return {
         k: v
         for k, v in vars(module).items()
-        if not k.startswith("__") and not isinstance(v, types.ModuleType)
+        if not k.startswith("__")
+        and k != "load_cfg_vars"
+        and not isinstance(v, types.ModuleType)
     }
 
 

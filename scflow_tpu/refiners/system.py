@@ -241,6 +241,123 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
 
 
+def make_raft_train_step(
+    model,
+    render_assets: RenderAssets,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    max_flow: float = 400.0,
+    filter_invalid_flow_by_mask: bool = True,
+    filter_invalid_flow_by_depth: bool = False,
+    gamma: float = 0.8,
+    flow_weight: float = 1.0,
+    occlusion_weight: float = 100.0,
+    render_chunk: int = 64,
+    donate: bool = True,
+):
+    """Train step for the RAFT baseline refiners (flow [+ occlusion] losses;
+    reference raft_refiner_flow_mask.py:169-222)."""
+    from scflow_tpu.geometry.flow import filter_flow_by_depth
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rendered_images, rendered_depths, rendered_masks = render_and_normalize(
+            render_assets, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], image_size, norm_mean, norm_std,
+            chunk=render_chunk,
+        )
+        gt_flow = flow_from_pose_and_depth(
+            batch["ref_rotations"], batch["ref_translations"],
+            batch["gt_rotations"], batch["gt_translations"],
+            rendered_depths, batch["k"], invalid_num=max_flow,
+        )
+        if filter_invalid_flow_by_mask:
+            gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"], max_flow)
+        if filter_invalid_flow_by_depth:
+            _, gt_depths, _ = render_and_normalize(
+                render_assets, batch["gt_rotations"], batch["gt_translations"],
+                batch["k"], batch["labels"], image_size, norm_mean, norm_std,
+                chunk=render_chunk,
+            )
+            gt_flow = filter_flow_by_depth(gt_flow, gt_depths, rendered_depths, max_flow)
+        gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out, updates = model.apply(
+                variables, rendered_images, batch["real_images"], train=True,
+                mutable=mutable,
+            )
+            T = out["flow"].shape[0]
+            log_vars: Dict[str, jnp.ndarray] = {}
+            loss_flow = loss_occ = 0.0
+            for i in range(T):
+                wi = gamma ** (T - 1 - i)
+                lf = raft_loss(
+                    out["flow"][i], gt_flow, valid=rendered_masks, max_flow=max_flow
+                ) * flow_weight
+                loss_flow += wi * lf
+                log_vars[f"seq_{i}_flow_loss"] = lf
+                if "occlusion" in out:
+                    lo = l1_loss(out["occlusion"][i], gt_occ) * occlusion_weight
+                    loss_occ += wi * lo
+                    log_vars[f"seq_{i}_occ_loss"] = lo
+            loss = loss_flow + loss_occ
+            log_vars.update(loss_flow=loss_flow, loss=loss)
+            if "occlusion" in out:
+                log_vars["loss_occ"] = loss_occ
+            new_bs = updates.get("batch_stats") if mutable else None
+            return loss, (log_vars, new_bs)
+
+        (loss, (log_vars, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        log_vars["grad_norm"] = optax_global_norm(grads)
+        return new_state, log_vars
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_raft_infer_fn(
+    model,
+    render_assets: RenderAssets,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    iters: Optional[int] = None,
+    render_chunk: int = 64,
+):
+    """Inference for RAFT refiners: returns final flow (+occlusion) and the
+    rendered depth the host PnP step consumes (flow_pose.solve_poses_from_flow)."""
+
+    @jax.jit
+    def infer(variables, batch):
+        rendered_images, rendered_depths, rendered_masks = render_and_normalize(
+            render_assets, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], image_size, norm_mean, norm_std,
+            chunk=render_chunk,
+        )
+        out = model.apply(
+            variables, rendered_images, batch["real_images"], iters=iters,
+            train=False,
+        )
+        res = {
+            "flow": out["flow"][-1],
+            "rendered_depths": rendered_depths,
+            "rendered_masks": rendered_masks,
+        }
+        if "occlusion" in out:
+            res["occlusion"] = out["occlusion"][-1]
+        return res
+
+    return infer
+
+
 def make_scflow_infer_fn(
     model,
     render_assets: RenderAssets,

@@ -106,7 +106,17 @@ def save_params(path: str, params, batch_stats=None):
 
 def load_params(path: str, template=None):
     ocp = _ocp()
+    path = os.path.abspath(path)
+    # CheckpointManager step dirs keep the payload under the 'default' item
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        return ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
-    return ckptr.restore(os.path.abspath(path))
+        # non-strict: allows restoring a params-only template from a full
+        # train-state checkpoint (extra keys in storage are ignored)
+        try:
+            return ckptr.restore(path, target=template, strict=False)
+        except BaseException:
+            full = ckptr.restore(path)
+            return {k: full[k] for k in template}
+    return ckptr.restore(path)

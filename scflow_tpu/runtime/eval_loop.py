@@ -1,0 +1,134 @@
+"""Batched evaluation loops (reference tools/eval.py single/multi_gpu_test).
+
+Per-image patch counts vary, so batches are padded to power-of-two buckets
+for a bounded set of jit specializations; predictions are cut back and
+remapped to the original image frame on host (pose.py:264-309 semantics).
+Multi-host runs shard images per process and gather results with
+`process_allgather`.
+"""
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from scflow_tpu.datasets.loader import collate_batch
+from scflow_tpu.geometry.host import remap_pose_to_origin_resolution
+from scflow_tpu.utils.logging import get_logger
+
+
+def _bucket(n: int, max_bucket: int = 64) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_bucket)
+
+
+def pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
+    """Pad the leading (object) axis to `size` by repeating row 0."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        n = v.shape[0]
+        if n == size:
+            out[k] = v
+        else:
+            pad = np.repeat(v[:1], size - n, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
+def single_process_test(
+    variables,
+    infer_fn: Callable,
+    dataset,
+    pose_from_output: Optional[Callable] = None,
+    max_bucket: int = 64,
+    progress_interval: int = 50,
+    logger=None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> List[Dict[str, Any]]:
+    """Runs inference over the dataset (this process's shard) and returns the
+    reference-format result list: per image {'pred': {...}, 'img_metas': ...}.
+
+    pose_from_output(out_host, batch, n) -> (rotations, translations,
+    labels, scores): defaults to the SCFlow direct-pose path; the RAFT
+    refiners pass a PnP-solving callable (refiners/flow_pose.py).
+    """
+    logger = logger or get_logger("scflow_tpu")
+    results = []
+    times = []
+    indices = range(process_index, len(dataset), process_count)
+    for count, idx in enumerate(indices):
+        sample = dataset[idx]
+        batch = collate_batch([sample])
+        metas = batch.pop("img_metas")
+        batch.pop("per_img_patch_num")
+        n = batch["labels"].shape[0]
+        padded = pad_batch(batch, _bucket(n, max_bucket))
+        t0 = time.perf_counter()
+        out = infer_fn(variables, padded)
+        out = jax.device_get(out)
+        times.append(time.perf_counter() - t0)
+
+        if pose_from_output is None:
+            rotations = np.asarray(out["rotations"])[:n]
+            translations = np.asarray(out["translations"])[:n]
+        else:
+            rotations, translations = pose_from_output(out, batch, n)
+        labels = np.asarray(batch["labels"])[:n]
+        scores = np.ones(n, np.float32)
+
+        meta = metas[0]
+        rotations, translations = remap_pose_to_origin_resolution(
+            rotations, translations, np.asarray(batch["k"])[:n], meta
+        )
+        results.append(
+            dict(
+                pred=dict(
+                    labels=labels,
+                    rotations=rotations,
+                    translations=translations,
+                    scores=scores,
+                ),
+                img_metas=dict(img_path=meta["img_path"]),
+            )
+        )
+        if progress_interval and (count + 1) % progress_interval == 0:
+            logger.info(
+                f"test [{count + 1}/{len(list(indices)) if hasattr(indices, '__len__') else '?'}] "
+                f"mean latency {np.mean(times[1:]) * 1e3 if len(times) > 1 else 0:.1f} ms/img"
+            )
+    if times:
+        logger.info(
+            f"per-image latency: mean {np.mean(times[1:]) * 1e3 if len(times) > 1 else float('nan'):.1f} ms "
+            f"(first incl. compile {times[0] * 1e3:.0f} ms)"
+        )
+    return results
+
+
+def multi_process_test(variables, infer_fn, dataset, **kwargs):
+    """Multi-host evaluation: each process tests its image shard, then
+    results are gathered to every host (replaces the reference's
+    collect_results_cpu/gpu pickle gathers, tools/eval.py:142-215)."""
+    pi, pc = jax.process_index(), jax.process_count()
+    local = single_process_test(
+        variables, infer_fn, dataset, process_index=pi, process_count=pc, **kwargs
+    )
+    if pc == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local)
+    merged: List = []
+    # round-robin interleave to restore dataset order
+    per_proc = list(gathered)
+    k = 0
+    while any(per_proc):
+        for p in range(pc):
+            if per_proc[p]:
+                merged.append(per_proc[p].pop(0))
+        k += 1
+    return merged

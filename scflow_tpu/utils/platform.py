@@ -1,0 +1,21 @@
+"""Platform selection helper.
+
+This image's sitecustomize registers a remote-TPU PJRT plugin and forces
+jax_platforms='axon,cpu', which silently overrides the JAX_PLATFORMS env
+var.  Tools call this once at startup so the user's env choice (e.g.
+JAX_PLATFORMS=cpu for CI) is honored again."""
+
+import os
+
+
+def apply_env_platform():
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
