@@ -36,7 +36,9 @@ def main():
     iters = 8
     nclass = 21
 
-    bank = make_synthetic_bank(nclass, kind="cube", size=80.0)
+    # 2048 faces per mesh — the scale of BOP models_1024 assets, so the
+    # on-device rendering cost is representative
+    bank = make_synthetic_bank(nclass, kind="sphere", size=80.0, subdivisions=4)
     render_assets = RenderAssets.from_bank(bank)
 
     model = SCFlowRefiner(

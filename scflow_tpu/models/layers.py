@@ -61,6 +61,7 @@ class ConvModule(nn.Module):
     act: Optional[str] = "relu"
     use_bias: Optional[bool] = None
     num_groups: int = 32
+    dtype: Any = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,6 +75,7 @@ class ConvModule(nn.Module):
             strides=(self.stride, self.stride),
             padding=((ph, ph), (pw, pw)),
             use_bias=bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
         if self.norm == "BN":
@@ -83,7 +85,10 @@ class ConvModule(nn.Module):
         elif self.norm == "IN":
             x = InstanceNorm(name="norm")(x)
         elif self.norm == "GN":
-            x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="norm")(x)
+            x = nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype,
+                name="norm",
+            )(x)
         elif self.norm is not None:
             raise ValueError(f"unknown norm {self.norm}")
         return _ACTS[self.act](x)

@@ -4,7 +4,7 @@ Reference: models/decoder/raft_decoder.py:61-294.  All convs are bias+ReLU
 (no norm), matching the shipped configs (conv_cfg/norm_cfg None, act ReLU).
 """
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,6 +35,7 @@ class MotionEncoder(nn.Module):
     """(corr, flow) -> motion feature; output = concat[out_net(...), flow]."""
 
     net_type: str = "Basic"
+    dtype: Any = None
 
     @property
     def out_channels(self) -> int:
@@ -45,13 +46,16 @@ class MotionEncoder(nn.Module):
         corr_arch, flow_arch, out_arch = _MOTION_ARCH[self.net_type]
         c = corr
         for i, (ch, k, p) in enumerate(corr_arch):
-            c = ConvModule(ch, k, padding=p, act="relu", name=f"corr_net{i}")(c)
+            c = ConvModule(ch, k, padding=p, act="relu", dtype=self.dtype,
+                           name=f"corr_net{i}")(c)
         f = flow
         for i, (ch, k, p) in enumerate(flow_arch):
-            f = ConvModule(ch, k, padding=p, act="relu", name=f"flow_net{i}")(f)
+            f = ConvModule(ch, k, padding=p, act="relu", dtype=self.dtype,
+                           name=f"flow_net{i}")(f)
         out = jnp.concatenate([c, f], axis=-1)
         for i, (ch, k, p) in enumerate(out_arch):
-            out = ConvModule(ch, k, padding=p, act="relu", name=f"out_net{i}")(out)
+            out = ConvModule(ch, k, padding=p, act="relu", dtype=self.dtype,
+                             name=f"out_net{i}")(out)
         return jnp.concatenate([out, flow], axis=-1)
 
 
@@ -63,6 +67,7 @@ class ConvGRU(nn.Module):
 
     h_channels: int
     net_type: str = "SeqConv"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,13 +78,16 @@ class ConvGRU(nn.Module):
         for i, (k, p) in enumerate(zip(kernels, paddings)):
             hx = jnp.concatenate([h, x], axis=-1)
             z = ConvModule(
-                self.h_channels, k, padding=p, act="sigmoid", name=f"conv_z{i}"
+                self.h_channels, k, padding=p, act="sigmoid", dtype=self.dtype,
+                name=f"conv_z{i}",
             )(hx)
             r = ConvModule(
-                self.h_channels, k, padding=p, act="sigmoid", name=f"conv_r{i}"
+                self.h_channels, k, padding=p, act="sigmoid", dtype=self.dtype,
+                name=f"conv_r{i}",
             )(hx)
             q = ConvModule(
-                self.h_channels, k, padding=p, act="tanh", name=f"conv_q{i}"
+                self.h_channels, k, padding=p, act="tanh", dtype=self.dtype,
+                name=f"conv_q{i}",
             )(jnp.concatenate([r * h, x], axis=-1))
             h = (1.0 - z) * h + z * q
         return h
@@ -91,15 +99,19 @@ class XHead(nn.Module):
     feat_channels: Sequence[int]
     x_channels: int
     kind: str = "flow"  # 'flow' | 'mask'
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, ch in enumerate(self.feat_channels):
-            x = ConvModule(ch, 3, padding=1, act="relu", name=f"layer{i}")(x)
+            x = ConvModule(ch, 3, padding=1, act="relu", dtype=self.dtype,
+                           name=f"layer{i}")(x)
         if self.kind == "flow":
             return nn.Conv(
-                self.x_channels, (3, 3), padding=((1, 1), (1, 1)), name="predict"
+                self.x_channels, (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name="predict",
             )(x)
         elif self.kind == "mask":
-            return nn.Conv(self.x_channels, (1, 1), name="predict")(x)
+            return nn.Conv(self.x_channels, (1, 1), dtype=self.dtype,
+                           name="predict")(x)
         raise ValueError(self.kind)

@@ -12,7 +12,7 @@ Flatten note: conv output is flattened in torch NCHW channel-major order so
 converted torch FC weights apply unchanged.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,18 +31,20 @@ class _PoseTrunk(nn.Module):
 
     conv_channels: Tuple[int, ...] = (128, 128, 128)
     fc_channels: Tuple[int, ...] = (1024, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, ch in enumerate(self.conv_channels):
             x = ConvModule(
-                ch, 3, stride=2, padding=1, norm="GN", act="relu", name=f"conv{i}"
+                ch, 3, stride=2, padding=1, norm="GN", act="relu",
+                dtype=self.dtype, name=f"conv{i}",
             )(x)
         # flatten in NCHW order for torch-weight compatibility
         n = x.shape[0]
         x = x.transpose(0, 3, 1, 2).reshape(n, -1)
         for i, ch in enumerate(self.fc_channels):
-            x = nn.relu(nn.Dense(ch, name=f"fc{i}")(x))
+            x = nn.relu(nn.Dense(ch, dtype=self.dtype, name=f"fc{i}")(x))
         return x
 
 
@@ -71,12 +73,13 @@ def _zero_init_heads(rotation_mode: str, num_class: int = 1):
 class SingleClassPoseHead(nn.Module):
     in_channels: int = 224
     rotation_mode: str = "ortho6d"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, label: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        feat = _PoseTrunk(name="trunk")(x)
+        feat = _PoseTrunk(dtype=self.dtype, name="trunk")(x)
         rot, trans, _ = _zero_init_heads(self.rotation_mode, 1)
         return rot(feat), trans(feat)
 
@@ -86,12 +89,13 @@ class MultiClassPoseHead(nn.Module):
     num_class: int = 21
     in_channels: int = 224
     rotation_mode: str = "ortho6d"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, label: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        feat = _PoseTrunk(name="trunk")(x)
+        feat = _PoseTrunk(dtype=self.dtype, name="trunk")(x)
         rot, trans, rot_dim = _zero_init_heads(self.rotation_mode, self.num_class)
         n = feat.shape[0]
         rot_all = rot(feat).reshape(n, self.num_class, rot_dim)

@@ -7,7 +7,7 @@ prediction (learned 9-way softmax over a 3x3 neighborhood per 8x8 subpixel).
 The loop is statically unrolled inside a single jit scope.
 """
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ class RAFTDecoder(nn.Module):
     mask_channels: int = 64
     convex_upsample_flow: bool = True
     predict_occlusion: bool = False  # True -> RAFTDecoderMask behavior
+    dtype: Any = None
 
     @property
     def h_channels(self):
@@ -55,22 +56,28 @@ class RAFTDecoder(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         scale = 2 ** (self.num_levels - 1)
-        pyramid = correlation_pyramid(feat1, feat2, self.num_levels)
+        pyramid = correlation_pyramid(feat1, feat2, self.num_levels,
+                                      out_dtype=self.dtype)
 
-        motion_enc = MotionEncoder(net_type=self.net_type, name="encoder")
-        gru = ConvGRU(self.h_channels, net_type=self.gru_type, name="gru")
-        flow_head = XHead((self.feat_channels,), 2, kind="flow", name="flow_pred")
+        motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
+                                   name="encoder")
+        gru = ConvGRU(self.h_channels, net_type=self.gru_type, dtype=self.dtype,
+                      name="gru")
+        flow_head = XHead((self.feat_channels,), 2, kind="flow",
+                          dtype=self.dtype, name="flow_pred")
         up_mask_head = None
         if self.net_type == "Basic":
             up_mask_head = XHead(
                 (self.feat_channels,),
                 self.mask_channels * (2 * self.radius + 1),
                 kind="mask",
+                dtype=self.dtype,
                 name="mask_pred",
             )
         occ_head = None
         if self.predict_occlusion:
-            occ_head = XHead((self.feat_channels,), 1, kind="mask", name="occlusion_pred")
+            occ_head = XHead((self.feat_channels,), 1, kind="mask",
+                             dtype=self.dtype, name="occlusion_pred")
 
         upflows, upoccs = [], []
         for _ in range(iters):
@@ -79,7 +86,7 @@ class RAFTDecoder(nn.Module):
             motion_feat = motion_enc(corr, flow)
             x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
             h_feat = gru(h_feat, x)
-            delta_flow = flow_head(h_feat)
+            delta_flow = flow_head(h_feat).astype(jnp.float32)
             flow = flow + delta_flow
 
             mask = None

@@ -7,7 +7,7 @@ BasicBlocks keep the mmcv layout (conv3x3+bias -> norm -> relu -> conv3x3+bias
 reference models/backbone/resnet.py:14-95).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -39,24 +39,27 @@ class BasicBlock(nn.Module):
     stride: int = 1
     norm: Optional[str] = "BN"
     with_downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=True, name="conv1",
+            padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
+            name="conv1",
         )(x)
         out = _Norm(self.norm, name="norm1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True, name="conv2"
+            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            dtype=self.dtype, name="conv2",
         )(out)
         out = _Norm(self.norm, name="norm2")(out, train)
         if self.with_downsample:
             identity = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = _Norm(self.norm, name="downsample_norm")(identity, train)
         return nn.relu(out + identity)
@@ -71,6 +74,7 @@ class RAFTEncoder(nn.Module):
     net_type: str = "Basic"
     norm: Optional[str] = "BN"
     scale: float = 1.0 / 8
+    dtype: Any = None
 
     _base_channels = {"Basic": (64, 96, 128), "Large": (64, 96)}
     _strides = {"Basic": (1, 2, 2), "Large": (1, 2)}
@@ -85,7 +89,8 @@ class RAFTEncoder(nn.Module):
         stem_ch = self._stem_channels[self.net_type]
         x = nn.Conv(
             stem_ch, (7, 7), strides=(stem_stride, stem_stride),
-            padding=((3, 3), (3, 3)), use_bias=True, name="stem_conv",
+            padding=((3, 3), (3, 3)), use_bias=True, dtype=self.dtype,
+            name="stem_conv",
         )(x)
         x = _Norm(self.norm, name="stem_norm")(x, train)
         x = nn.relu(x)
@@ -103,8 +108,12 @@ class RAFTEncoder(nn.Module):
                 need_ds = (s != 1) or (inplanes != planes)
                 x = BasicBlock(
                     planes=planes, stride=s, norm=self.norm,
-                    with_downsample=need_ds, name=f"layer{i + 1}_block{b}",
+                    with_downsample=need_ds, dtype=self.dtype,
+                    name=f"layer{i + 1}_block{b}",
                 )(x, train)
                 inplanes = planes
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=True, name="out_conv")(x)
+        x = nn.Conv(
+            self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            name="out_conv",
+        )(x)
         return x

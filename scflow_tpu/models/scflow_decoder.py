@@ -51,6 +51,7 @@ class SCFlowDecoder(nn.Module):
     gru_type: str = "SeqConv"
     feat_channels: int = 256
     pose_head_cfg: Optional[dict] = None
+    dtype: Any = None
 
     @property
     def h_channels(self):
@@ -69,10 +70,10 @@ class SCFlowDecoder(nn.Module):
             if k in cfg:
                 kw[k] = cfg[k]
         if head_type == "MultiClassPoseHead":
-            return MultiClassPoseHead(name="pose_pred", **kw)
+            return MultiClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
         elif head_type == "SingleClassPoseHead":
             kw.pop("num_class", None)
-            return SingleClassPoseHead(name="pose_pred", **kw)
+            return SingleClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
         raise KeyError(head_type)
 
     @nn.compact
@@ -95,18 +96,28 @@ class SCFlowDecoder(nn.Module):
         scale = 2 ** (self.num_levels - 1)
         n, img_h, img_w = depth.shape
 
-        pyramid = correlation_pyramid(feat_render, feat_real, self.num_levels)
+        pyramid = correlation_pyramid(
+            feat_render, feat_real, self.num_levels, out_dtype=self.dtype
+        )
 
-        motion_enc = MotionEncoder(net_type=self.net_type, name="encoder")
-        gru = ConvGRU(self.h_channels, net_type=self.gru_type, name="gru")
-        flow_head = XHead((self.feat_channels,), 2, kind="flow", name="flow_pred")
-        mask_head = XHead((self.feat_channels,), 1, kind="mask", name="mask_pred")
+        motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
+                                   name="encoder")
+        gru = ConvGRU(self.h_channels, net_type=self.gru_type, dtype=self.dtype,
+                      name="gru")
+        flow_head = XHead((self.feat_channels,), 2, kind="flow",
+                          dtype=self.dtype, name="flow_pred")
+        mask_head = XHead((self.feat_channels,), 1, kind="mask",
+                          dtype=self.dtype, name="mask_pred")
         pose_head = self._build_pose_head()
 
-        dfe0 = ConvModule(128, 7, padding=3, act="relu", name="delta_flow_enc0")
-        dfe1 = ConvModule(64, 3, padding=1, act="relu", name="delta_flow_enc1")
-        me0 = ConvModule(64, 3, padding=1, act="relu", name="mask_enc0")
-        me1 = ConvModule(32, 3, padding=1, act="relu", name="mask_enc1")
+        dfe0 = ConvModule(128, 7, padding=3, act="relu", dtype=self.dtype,
+                          name="delta_flow_enc0")
+        dfe1 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
+                          name="delta_flow_enc1")
+        me0 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
+                         name="mask_enc0")
+        me1 = ConvModule(32, 3, padding=1, act="relu", dtype=self.dtype,
+                         name="mask_enc1")
         delta_flow_encoder = lambda x: dfe1(dfe0(x))
         mask_encoder = lambda x: me1(me0(x))
 
@@ -153,8 +164,12 @@ class SCFlowDecoder(nn.Module):
             d_rot, d_trans = pose_head(
                 jnp.concatenate([h_feat, dff, mf], axis=-1), label
             )
+            d_rot = d_rot.astype(jnp.float32)
+            d_trans = d_trans.astype(jnp.float32)
 
-            flow_pred = scale * interpolate_bilinear(flow_small + delta_flow, scale)
+            flow_pred = scale * interpolate_bilinear(
+                (flow_small + delta_flow).astype(jnp.float32), scale
+            )
             mask_up = interpolate_bilinear(mask, scale)
 
             R_prev = jax.lax.stop_gradient(R) if self.detach_pose else R

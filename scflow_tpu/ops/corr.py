@@ -21,7 +21,8 @@ from scflow_tpu.ops.sampling import sample_at_pixels
 
 
 def correlation_pyramid(
-    feat1: jnp.ndarray, feat2: jnp.ndarray, num_levels: int = 4
+    feat1: jnp.ndarray, feat2: jnp.ndarray, num_levels: int = 4,
+    out_dtype=None,
 ) -> List[jnp.ndarray]:
     """feat1, feat2: (N, H, W, C) -> list of (N*H*W, Hl, Wl, 1), Hl = H/2^l.
 
@@ -32,6 +33,8 @@ def correlation_pyramid(
     f2 = feat2.reshape(n, h * w, c)
     corr = jnp.einsum("nsc,ntc->nst", f1, f2, preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    if out_dtype is not None:
+        corr = corr.astype(out_dtype)
     corr = corr.reshape(n * h * w, h, w, 1)
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -117,6 +120,10 @@ def corr_lookup(
             0.0, 1.0 - jnp.abs(py[:, None, None] + offs[None, :, None] - jy[None, None, :])
         )
         m = corr[..., 0]  # (B, Hl, Wl)
+        # match the map dtype (bf16 maps halve the lookup bandwidth; the
+        # einsums still accumulate in fp32)
+        wy = wy.astype(m.dtype)
+        wx = wx.astype(m.dtype)
         tmp = jnp.einsum("bkh,bhw->bkw", wy, m, preferred_element_type=jnp.float32)
         out = jnp.einsum(
             "bjw,bkw->bjk", wx, tmp, preferred_element_type=jnp.float32

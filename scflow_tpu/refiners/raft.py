@@ -5,7 +5,7 @@ raft_refiner_flow_mask.py (network part).  Pose recovery from flow (PnP on
 2D-3D correspondences) lives in scflow_tpu.geometry.pnp / the eval pipeline.
 """
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,12 +30,14 @@ class _RAFTRefinerBase(nn.Module):
     convex_upsample_flow: bool = True
     max_flow: float = 400.0
     predict_occlusion: bool = False
+    dtype: Any = None
 
     def setup(self):
         self.render_encoder = RAFTEncoder(
             out_channels=self.encoder_out_channels,
             net_type=self.net_type,
             norm=self.encoder_norm,
+            dtype=self.dtype,
             name="render_encoder",
         )
         if self.seperate_encoder:
@@ -43,6 +45,7 @@ class _RAFTRefinerBase(nn.Module):
                 out_channels=self.encoder_out_channels,
                 net_type=self.net_type,
                 norm=self.encoder_norm,
+                dtype=self.dtype,
                 name="real_encoder",
             )
         else:
@@ -51,6 +54,7 @@ class _RAFTRefinerBase(nn.Module):
             out_channels=self.h_channels + self.cxt_channels,
             net_type=self.net_type,
             norm=self.cxt_norm,
+            dtype=self.dtype,
             name="context",
         )
         self.decoder = RAFTDecoder(
@@ -61,6 +65,7 @@ class _RAFTRefinerBase(nn.Module):
             gru_type=self.gru_type,
             convex_upsample_flow=self.convex_upsample_flow,
             predict_occlusion=self.predict_occlusion,
+            dtype=self.dtype,
             name="decoder",
         )
 

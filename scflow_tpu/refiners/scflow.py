@@ -38,12 +38,14 @@ class SCFlowRefiner(nn.Module):
     gru_type: str = "SeqConv"
     pose_head_cfg: Optional[dict] = None
     max_flow: float = 400.0
+    dtype: Any = None
 
     def setup(self):
         self.render_encoder = RAFTEncoder(
             out_channels=self.encoder_out_channels,
             net_type=self.net_type,
             norm=self.encoder_norm,
+            dtype=self.dtype,
             name="render_encoder",
         )
         if self.seperate_encoder:
@@ -51,6 +53,7 @@ class SCFlowRefiner(nn.Module):
                 out_channels=self.encoder_out_channels,
                 net_type=self.net_type,
                 norm=self.encoder_norm,
+                dtype=self.dtype,
                 name="real_encoder",
             )
         else:
@@ -59,6 +62,7 @@ class SCFlowRefiner(nn.Module):
             out_channels=self.h_channels + self.cxt_channels,
             net_type=self.net_type,
             norm=self.cxt_norm,
+            dtype=self.dtype,
             name="context",
         )
         self.decoder = SCFlowDecoder(
@@ -75,6 +79,7 @@ class SCFlowRefiner(nn.Module):
             depth_transform=self.depth_transform,
             gru_type=self.gru_type,
             pose_head_cfg=self.pose_head_cfg,
+            dtype=self.dtype,
             name="decoder",
         )
 

@@ -102,9 +102,30 @@ class MeshBank:
         )
 
 
+def _subdivide(verts: np.ndarray, faces: np.ndarray):
+    """One loop of midpoint subdivision (4x faces)."""
+    edge_mid = {}
+    verts = list(verts)
+
+    def mid(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in edge_mid:
+            edge_mid[key] = len(verts)
+            verts.append((np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0)
+        return edge_mid[key]
+
+    out = []
+    for a, b, c in faces:
+        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+        out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    return np.asarray(verts, np.float32), np.asarray(out, np.int32)
+
+
 def make_synthetic_bank(num_class: int = 3, kind: str = "cube",
-                        size: float = 60.0) -> MeshBank:
-    """Synthetic colored meshes for tests/benchmarks (no dataset needed)."""
+                        size: float = 60.0, subdivisions: int = 0) -> MeshBank:
+    """Synthetic colored meshes for tests/benchmarks (no dataset needed).
+    `subdivisions` quadruples the face count per level (e.g. a sphere with
+    subdivisions=4 has 2048 faces — the scale of BOP models_1024 meshes)."""
     meshes = []
     for c in range(num_class):
         s = size * (1.0 + 0.3 * c)
@@ -131,6 +152,10 @@ def make_synthetic_bank(num_class: int = 3, kind: str = "cube",
                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
                 np.int32,
             )
+        for _ in range(subdivisions):
+            v, f = _subdivide(v, f)
+            if kind != "cube":  # keep spheres spherical
+                v = v / np.linalg.norm(v, axis=-1, keepdims=True) * (s / 2)
         colors = (v - v.min(0)) / (v.max(0) - v.min(0) + 1e-9)
         m = PlyMesh(v, f, colors=colors.astype(np.float32))
         m.normals = m.compute_vertex_normals()

@@ -207,3 +207,28 @@ class TestBuildFromConfig:
         out = model.apply(v, imgs, imgs)
         assert out["flow"].shape == (2, 1, 64, 64, 2)
         assert out["occlusion"].shape == (2, 1, 64, 64)
+
+
+class TestBF16:
+    def test_bf16_inference_close_to_fp32(self, key):
+        import jax.numpy as jnp
+
+        n, H, W = 2, 64, 64
+        depth, K, R, t, label = scene_inputs(n, H, W)
+        imgs = jax.random.normal(key, (n, H, W, 3)) * 0.2
+        kwargs = dict(
+            iters=2,
+            pose_head_cfg=dict(type="MultiClassPoseHead", num_class=3, in_channels=224),
+        )
+        m32 = SCFlowRefiner(**kwargs)
+        m16 = SCFlowRefiner(dtype=jnp.bfloat16, **kwargs)
+        v = m32.init(key, imgs, imgs, R, t, depth, K, label)
+        out32 = m32.apply(v, imgs, imgs, R, t, depth, K, label)
+        out16 = m16.apply(v, imgs, imgs, R, t, depth, K, label)
+        # params are shared; bf16 compute must stay close and emit fp32 poses
+        assert out16["translations"].dtype == jnp.float32
+        t32 = np.asarray(out32["translations"][-1])
+        t16 = np.asarray(out16["translations"][-1])
+        np.testing.assert_allclose(t16, t32, rtol=0.1, atol=2.0)
+        R_err = np.abs(np.asarray(out16["rotations"][-1]) - np.asarray(out32["rotations"][-1]))
+        assert R_err.max() < 0.05
