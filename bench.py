@@ -68,7 +68,13 @@ def main():
     depth0 = jnp.zeros((batch, img, img))
     variables = model.init(key, real, real, R, t, depth0, K, labels)
 
-    infer = make_scflow_infer_fn(model, render_assets, image_size=(img, img))
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    infer = make_scflow_infer_fn(
+        model, render_assets, image_size=(img, img),
+        render_backend="pallas" if on_tpu else "xla",
+    )
     bdict = {
         "real_images": real,
         "ref_rotations": R,

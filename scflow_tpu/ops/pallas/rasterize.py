@@ -1,0 +1,383 @@
+"""Pallas TPU rasterization kernel: tile-binned packed z-buffer pass.
+
+The XLA rasterizer's depth pass is a fused brute-force reduction — every
+face is tested against every pixel (render/rasterizer.py).  This kernel adds
+the classic tile binning: the image is split into (TH, TW) tiles (one grid
+instance each), faces are pre-sorted by their projected tile and grouped
+into chunks, and a per-(tile, chunk) activity mask (computed densely in XLA,
+it is tiny) lets the kernel skip whole chunks whose bounding boxes miss the
+tile.  All intermediates live in VMEM/registers; each chunk is evaluated
+fully vectorized as a (FC, TH*TW) block on the VPU and min-merged into the
+tile's packed (z-bits | face-id) accumulator.
+
+The kernel only produces the packed winner per pixel; the exact-z /
+barycentric recovery stays in XLA (cheap row gathers — see
+render/rasterizer.py pass 2).
+"""
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT32_MAX = 2**31 - 1
+
+
+def _kernel(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
+            id_mask: int, nc: int):
+    n = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    ntx = pl.num_programs(2)
+    act_base = ((n * pl.num_programs(1) + ty) * ntx + tx) * nc
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    pxf = px.reshape(1, th * tw)
+    pyf = py.reshape(1, th * tw)
+
+    def chunk_body(c, pack):
+        def do(pack):
+            start = pl.multiple_of(c * fc, 128)
+            blk = tri_ref[0, :, pl.ds(start, fc)]  # (16, FC)
+            ax = blk[0][:, None]
+            ay = blk[1][:, None]
+            bx = blk[2][:, None]
+            by = blk[3][:, None]
+            cx = blk[4][:, None]
+            cy = blk[5][:, None]
+            z0 = blk[6][:, None]
+            z1 = blk[7][:, None]
+            z2 = blk[8][:, None]
+            keybase = blk[9][:, None]  # face id as float (exact below 2^24)
+            valid = blk[10][:, None] > 0.5
+
+            det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+            det_ok = jnp.abs(det) > 1e-9
+            det_safe = jnp.where(det_ok, det, 1.0)
+            w0 = ((by - cy) * (pxf - cx) + (cx - bx) * (pyf - cy)) / det_safe
+            w1 = ((cy - ay) * (pxf - cx) + (ax - cx) * (pyf - cy)) / det_safe
+            w2 = 1.0 - w0 - w1
+            zpix = w0 * z0 + w1 * z1 + w2 * z2
+            front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
+            cover = (
+                (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & det_ok & front & valid
+            )
+            zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
+            packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
+            packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
+            chunk_min = jnp.min(packed, axis=0)  # (THW,)
+            return jnp.minimum(pack, chunk_min.reshape(th, tw))
+
+        return jax.lax.cond(active_ref[act_base + c] > 0, do, lambda p: p, pack)
+
+    init = jnp.full((th, tw), INT32_MAX, jnp.int32)
+    out_ref[0] = jax.lax.fori_loop(0, nc, chunk_body, init)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits")
+)
+def rasterize_packed_pallas(
+    tri: jnp.ndarray,  # (N, 16, F) packed face rows (see _pack_tri)
+    active: jnp.ndarray,  # (N, TY, TX, NC) int32 chunk-tile activity
+    h: int,
+    w: int,
+    th: int = 32,
+    tw: int = 128,
+    fc: int = 64,
+    id_bits: int = 11,
+) -> jnp.ndarray:
+    """Returns packed winner keys (N, H, W) int32 (INT32_MAX = background)."""
+    n = tri.shape[0]
+    ty, tx = h // th, w // tw
+    nc = active.shape[-1]
+    grid = (n, ty, tx)
+    id_mask = (1 << id_bits) - 1
+    kern = functools.partial(
+        _kernel, fc=fc, th=th, tw=tw, id_mask=id_mask, nc=nc
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # flattened activity mask in SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16, tri.shape[-1]), lambda i, j, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, tw), lambda i, j, k, *_: (i, j, k)),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int32),
+        grid_spec=grid_spec,
+    )(active.reshape(-1), tri)
+
+
+def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
+                   nc: int, id_mask: int):
+    """Fused depth-test + winner-attribute kernel.
+
+    tri_ref rows (32, F): 0-5 corner xy, 6-8 corner z, 9 sorted id,
+    10 valid, 11-19 corner normals, 20-28 corner colors.
+    out_ref (1, 16, TH, TW): 0 z, 1 fg flag, 2 sorted fid, 3-5 normal,
+    6-8 color, 9-11 barycentrics, rest zero.
+
+    Per active chunk the packed-key winner is found as in `_kernel`; the
+    winner's 32-channel face row is then selected with ONE (32, FC) x
+    (FC, THW) one-hot matmul on the MXU — no gathers anywhere — and carried
+    across chunks with a where-merge.  Barycentric/attribute interpolation
+    happens once per tile at the end, purely elementwise.
+    """
+    n = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    act_base = ((n * pl.num_programs(1) + ty) * pl.num_programs(2) + tx) * nc
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    pxf = px.reshape(1, th * tw)
+    pyf = py.reshape(1, th * tw)
+    thw = th * tw
+
+    def chunk_body(c, carry):
+        pack, data = carry
+
+        def do(carry):
+            pack, data = carry
+            start = pl.multiple_of(c * fc, 128)
+            blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
+            ax = blk[0][:, None]
+            ay = blk[1][:, None]
+            bx = blk[2][:, None]
+            by = blk[3][:, None]
+            cx = blk[4][:, None]
+            cy = blk[5][:, None]
+            z0 = blk[6][:, None]
+            z1 = blk[7][:, None]
+            z2 = blk[8][:, None]
+            keybase = blk[9][:, None]
+            valid = blk[10][:, None] > 0.5
+
+            det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+            det_ok = jnp.abs(det) > 1e-9
+            det_safe = jnp.where(det_ok, det, 1.0)
+            w0 = ((by - cy) * (pxf - cx) + (cx - bx) * (pyf - cy)) / det_safe
+            w1 = ((cy - ay) * (pxf - cx) + (ax - cx) * (pyf - cy)) / det_safe
+            w2 = 1.0 - w0 - w1
+            zpix = w0 * z0 + w1 * z1 + w2 * z2
+            front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
+            cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & det_ok & front & valid
+            zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
+            # keys are unique per face (id in low bits), so the one-hot
+            # equality-select below has exactly one hit for covered pixels
+            packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
+            packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
+            chunk_min = jnp.min(packed, axis=0)  # (THW,)
+
+            onehot = (packed == chunk_min[None, :]).astype(jnp.float32)
+            # split precision: geometry rows (coords/z/id) need HIGHEST — MXU
+            # bf16 rounding would quantize the selected corner coordinates
+            # (~0.5px depth artifacts); attribute rows tolerate bf16
+            geo = jax.lax.dot_general(
+                blk[:16], onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (16, THW)
+            attrs = jax.lax.dot_general(
+                blk[16:], onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16, THW)
+            chunk_data = jnp.concatenate([geo, attrs], axis=0)
+
+            better = (chunk_min < pack)[None, :]  # (1, THW)
+            pack = jnp.where(better[0], chunk_min, pack)
+            data = jnp.where(better, chunk_data, data)
+            return pack, data
+
+        return jax.lax.cond(active_ref[act_base + c] > 0, do, lambda x: x,
+                            (pack, data))
+
+    init = (
+        jnp.full((thw,), INT32_MAX, jnp.int32),
+        jnp.zeros((32, thw), jnp.float32),
+    )
+    pack, data = jax.lax.fori_loop(0, nc, chunk_body, init)
+
+    fg = (pack != INT32_MAX).astype(jnp.float32)
+    # winner barycentrics/z recomputed exactly from the carried face row
+    det = (data[3] - data[5]) * (data[0] - data[4]) + (data[4] - data[2]) * (
+        data[1] - data[5]
+    )
+    det_safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+    pxl = pxf[0]
+    pyl = pyf[0]
+    w0 = ((data[3] - data[5]) * (pxl - data[4]) + (data[4] - data[2]) * (pyl - data[5])) / det_safe
+    w1 = ((data[5] - data[1]) * (pxl - data[4]) + (data[0] - data[4]) * (pyl - data[5])) / det_safe
+    w2 = 1.0 - w0 - w1
+    z = w0 * data[6] + w1 * data[7] + w2 * data[8]
+
+    out = [
+        z * fg,
+        fg,
+        data[9],  # sorted face id (float)
+    ]
+    for a in range(3):  # normals then handled with colors below
+        out.append(w0 * data[11 + a] + w1 * data[14 + a] + w2 * data[17 + a])
+    for a in range(3):
+        out.append(w0 * data[20 + a] + w1 * data[23 + a] + w2 * data[26 + a])
+    out += [w0 * fg, w1 * fg, w2 * fg]
+    out += [jnp.zeros_like(z)] * (16 - len(out))
+    out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits")
+)
+def rasterize_shaded_pallas(
+    tri: jnp.ndarray,  # (N, 32, F) packed rows incl. corner normals/colors
+    active: jnp.ndarray,  # (N, TY, TX, NC) int32
+    h: int,
+    w: int,
+    th: int = 8,
+    tw: int = 128,
+    fc: int = 128,
+    id_bits: int = 11,
+) -> jnp.ndarray:
+    """Returns (N, 16, H, W) f32 fragment maps (see _kernel_shaded)."""
+    n = tri.shape[0]
+    ty, tx = h // th, w // tw
+    nc = active.shape[-1]
+    kern = functools.partial(
+        _kernel_shaded, fc=fc, th=th, tw=tw, nc=nc, id_mask=(1 << id_bits) - 1
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 32, tri.shape[-1]), lambda i, j, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, th, tw), lambda i, j, k, *_: (i, 0, j, k)),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 16, h, w), jnp.float32),
+        grid_spec=grid_spec,
+    )(active.reshape(-1), tri)
+
+
+def pack_faces_and_bin(
+    tri_xy: jnp.ndarray,  # (N, F, 3, 2) screen-space corners
+    tri_z: jnp.ndarray,  # (N, F, 3)
+    face_valid: jnp.ndarray,  # (N, F)
+    h: int,
+    w: int,
+    th: int,
+    tw: int,
+    fc: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XLA-side preprocessing: sort faces by projected tile for chunk
+    coherence, pack per-face rows, and build the (tile, chunk) activity mask.
+
+    Returns (tri (N,16,F'), active (N,TY,TX,NC) int32, perm (N,F') sorted->
+    original face index).
+    """
+    n, f = face_valid.shape
+    pad = (-f) % fc
+    if pad:
+        tri_xy = jnp.concatenate(
+            [tri_xy, jnp.zeros((n, pad, 3, 2), tri_xy.dtype)], axis=1
+        )
+        tri_z = jnp.concatenate([tri_z, jnp.zeros((n, pad, 3), tri_z.dtype)], axis=1)
+        face_valid = jnp.concatenate(
+            [face_valid, jnp.zeros((n, pad), bool)], axis=1
+        )
+        f += pad
+    ty, tx = h // th, w // tw
+
+    xmin = tri_xy[..., 0].min(axis=2)
+    xmax = tri_xy[..., 0].max(axis=2)
+    ymin = tri_xy[..., 1].min(axis=2)
+    ymax = tri_xy[..., 1].max(axis=2)
+
+    # sort by tile of the bbox center (y-major); invalid faces sort last
+    cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th
+    cx = jnp.clip((xmin + xmax) * 0.5, 0, w - 1) // tw
+    key = jnp.where(face_valid, cy * tx + cx, 1e9)
+    perm = jnp.argsort(key, axis=1).astype(jnp.int32)  # (N, F)
+
+    def take(a):
+        return jnp.take_along_axis(a, perm.reshape(n, f, *([1] * (a.ndim - 2))), axis=1)
+
+    tri_xy = take(tri_xy)
+    tri_z = take(tri_z)
+    face_valid = jnp.take_along_axis(face_valid, perm, axis=1)
+    xmin, xmax = take(xmin[..., None])[..., 0], take(xmax[..., None])[..., 0]
+    ymin, ymax = take(ymin[..., None])[..., 0], take(ymax[..., None])[..., 0]
+
+    rows = jnp.stack(
+        [
+            tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1],
+            tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1],
+            tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1],
+            tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2],
+            jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0),  # sorted id
+            face_valid.astype(jnp.float32),
+        ]
+        + [jnp.zeros((n, f), jnp.float32)] * 5,
+        axis=1,
+    )  # (N, 16, F)
+
+    # chunk bboxes (invalid faces excluded via +-inf)
+    big = jnp.float32(1e9)
+    cxmin = jnp.where(face_valid, xmin, big).reshape(n, f // fc, fc).min(2)
+    cxmax = jnp.where(face_valid, xmax, -big).reshape(n, f // fc, fc).max(2)
+    cymin = jnp.where(face_valid, ymin, big).reshape(n, f // fc, fc).min(2)
+    cymax = jnp.where(face_valid, ymax, -big).reshape(n, f // fc, fc).max(2)
+
+    tile_x0 = (jnp.arange(tx) * tw)[None, :, None]  # (1, TX, 1)
+    tile_y0 = (jnp.arange(ty) * th)[None, :, None]  # (1, TY, 1)
+    hit_x = (cxmax[:, None] >= tile_x0) & (cxmin[:, None] <= tile_x0 + tw - 1)
+    hit_y = (cymax[:, None] >= tile_y0) & (cymin[:, None] <= tile_y0 + th - 1)
+    active = (
+        hit_y[:, :, None, :] & hit_x[:, None, :, :]
+    ).astype(jnp.int32)  # (N, TY, TX, NC)
+    return rows, active, perm
+
+
+def pack_shaded_and_bin(
+    tri_xy: jnp.ndarray,  # (N, F, 3, 2)
+    tri_z: jnp.ndarray,  # (N, F, 3)
+    face_valid: jnp.ndarray,  # (N, F)
+    corner_attrs: jnp.ndarray,  # (N, F, 3, 6) per-corner [normal(3), color(3)]
+    h: int,
+    w: int,
+    th: int,
+    tw: int,
+    fc: int,
+):
+    """pack_faces_and_bin + the corner attributes needed by _kernel_shaded.
+    Returns (rows (N, 32, F'), active, perm)."""
+    rows16, active, perm = pack_faces_and_bin(
+        tri_xy, tri_z, face_valid, h, w, th, tw, fc
+    )
+    n, f = perm.shape
+    ca = corner_attrs
+    pad = f - ca.shape[1]
+    if pad:
+        ca = jnp.concatenate([ca, jnp.zeros((n, pad, 3, 6), ca.dtype)], axis=1)
+    ca = jnp.take_along_axis(ca.reshape(n, f, 18), perm[..., None], axis=1)
+    # rows 11-19 normals (corner-major), 20-28 colors
+    nrm = ca.reshape(n, f, 3, 6)[..., 0:3].reshape(n, f, 9)
+    col = ca.reshape(n, f, 3, 6)[..., 3:6].reshape(n, f, 9)
+    attr_rows = jnp.concatenate([nrm, col], axis=-1).transpose(0, 2, 1)  # (N,18,F)
+    rows = jnp.concatenate(
+        [rows16[:, :11], attr_rows, jnp.zeros((n, 3, f), jnp.float32)], axis=1
+    )  # (N, 32, F)
+    return rows, active, perm

@@ -77,6 +77,7 @@ def render_and_normalize(
     norm_mean,
     norm_std,
     chunk: int = 64,
+    backend: str = "xla",
 ):
     """Render at the reference pose and normalize like the data pipeline
     (base_refiner.py:153-166: image/255-space mean/std)."""
@@ -95,6 +96,7 @@ def render_and_normalize(
         h,
         w,
         chunk=chunk,
+        backend=backend,
     )
     mean = jnp.asarray(norm_mean, jnp.float32) / 255.0
     std = jnp.asarray(norm_std, jnp.float32) / 255.0
@@ -164,6 +166,7 @@ def make_scflow_train_step(
     filter_invalid_flow: bool = True,
     loss_kwargs: Optional[Dict[str, Any]] = None,
     render_chunk: int = 64,
+    render_backend: str = "xla",
     donate: bool = True,
 ):
     """Returns jitted train_step(state, batch) -> (state, log_vars).
@@ -185,6 +188,7 @@ def make_scflow_train_step(
             norm_mean,
             norm_std,
             chunk=render_chunk,
+            backend=render_backend,
         )
         gt_flow = flow_from_pose_and_depth(
             batch["ref_rotations"], batch["ref_translations"],
@@ -254,6 +258,7 @@ def make_raft_train_step(
     flow_weight: float = 1.0,
     occlusion_weight: float = 100.0,
     render_chunk: int = 64,
+    render_backend: str = "xla",
     donate: bool = True,
 ):
     """Train step for the RAFT baseline refiners (flow [+ occlusion] losses;
@@ -264,7 +269,7 @@ def make_raft_train_step(
         rendered_images, rendered_depths, rendered_masks = render_and_normalize(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
-            chunk=render_chunk,
+            chunk=render_chunk, backend=render_backend,
         )
         gt_flow = flow_from_pose_and_depth(
             batch["ref_rotations"], batch["ref_translations"],
@@ -331,6 +336,7 @@ def make_raft_infer_fn(
     norm_std=(255.0, 255.0, 255.0),
     iters: Optional[int] = None,
     render_chunk: int = 64,
+    render_backend: str = "xla",
 ):
     """Inference for RAFT refiners: returns final flow (+occlusion) and the
     rendered depth the host PnP step consumes (flow_pose.solve_poses_from_flow)."""
@@ -340,7 +346,7 @@ def make_raft_infer_fn(
         rendered_images, rendered_depths, rendered_masks = render_and_normalize(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
-            chunk=render_chunk,
+            chunk=render_chunk, backend=render_backend,
         )
         out = model.apply(
             variables, rendered_images, batch["real_images"], iters=iters,
@@ -366,6 +372,7 @@ def make_scflow_infer_fn(
     norm_std=(255.0, 255.0, 255.0),
     iters: Optional[int] = None,
     render_chunk: int = 64,
+    render_backend: str = "xla",
 ):
     """Returns jitted infer(variables, batch) -> dict with final rotations /
     translations (patch-intrinsics frame; host code remaps to the original
@@ -383,6 +390,7 @@ def make_scflow_infer_fn(
             norm_mean,
             norm_std,
             chunk=render_chunk,
+            backend=render_backend,
         )
         out = model.apply(
             variables,

@@ -63,22 +63,7 @@ def _bary(px, py, x0, y0, x1, y1, x2, y2):
     return w0, w1, w2, det_ok
 
 
-@partial(jax.jit, static_argnames=("h", "w", "chunk"))
-def rasterize(
-    verts_cam: jnp.ndarray,  # (N, V, 3) camera-frame vertices
-    faces: jnp.ndarray,  # (N, F, 3)
-    face_valid: jnp.ndarray,  # (N, F)
-    K: jnp.ndarray,  # (N, 3, 3)
-    h: int,
-    w: int,
-    chunk: Optional[int] = None,  # kept for API compat; unused
-) -> Fragments:
-    xy, z = project_to_screen(verts_cam, K)
-    n, f, _ = faces.shape
-    id_bits = max(1, math.ceil(math.log2(max(f, 2))))
-    id_mask = (1 << id_bits) - 1
-
-    # per-face corner data via row gathers: (N, F, 3, {2,1})
+def _gather_tri(xy, z, faces):
     tri_xy = jnp.stack(
         [jnp.take_along_axis(xy, faces[:, :, j][..., None], axis=1) for j in range(3)],
         axis=2,
@@ -88,15 +73,13 @@ def rasterize(
          for j in range(3)],
         axis=2,
     )  # (N, F, 3)
+    return tri_xy, tri_z
 
-    gy, gx = jnp.meshgrid(
-        jnp.arange(h, dtype=xy.dtype), jnp.arange(w, dtype=xy.dtype), indexing="ij"
-    )
-    px = gx.reshape(-1)  # (HW,)
-    py = gy.reshape(-1)
 
-    # pass 1: fused min-reduction over faces of packed (z | face_id) keys
-    a = tri_xy[:, :, :, :, None]  # (N, F, 3, 2, 1) -> broadcast against pixels
+def _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask):
+    """Fused min-reduction over faces of packed (z | face_id) keys."""
+    f = tri_xy.shape[1]
+    a = tri_xy[:, :, :, :, None]  # broadcast against pixels
     x0, y0 = a[:, :, 0, 0], a[:, :, 0, 1]
     x1, y1 = a[:, :, 1, 0], a[:, :, 1, 1]
     x2, y2 = a[:, :, 2, 0], a[:, :, 2, 1]
@@ -112,17 +95,72 @@ def rasterize(
     fid_arr = jnp.arange(f, dtype=jnp.int32)[None, :, None]
     packed = (zbits & ~jnp.int32(id_mask)) | fid_arr
     packed = jnp.where(cover, packed, jnp.int32(2**31 - 1))
-    win = jnp.min(packed, axis=1)  # (N, HW) — the only materialized volume op
+    return jnp.min(packed, axis=1)  # (N, HW)
 
-    background = win == jnp.int32(2**31 - 1)
-    fid = jnp.where(background, -1, win & jnp.int32(id_mask))
 
-    # pass 2: exact z/barycentrics for the winner via row gathers
+@partial(jax.jit, static_argnames=("h", "w", "chunk", "backend"))
+def rasterize(
+    verts_cam: jnp.ndarray,  # (N, V, 3) camera-frame vertices
+    faces: jnp.ndarray,  # (N, F, 3)
+    face_valid: jnp.ndarray,  # (N, F)
+    K: jnp.ndarray,  # (N, 3, 3)
+    h: int,
+    w: int,
+    chunk: Optional[int] = None,  # kept for API compat; unused
+    backend: str = "xla",  # 'xla' | 'pallas' (tile-binned TPU kernel)
+) -> Fragments:
+    xy, z = project_to_screen(verts_cam, K)
+    n, f, _ = faces.shape
+
+    tri_xy, tri_z = jax.lax.optimization_barrier(_gather_tri(xy, z, faces))
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=xy.dtype), jnp.arange(w, dtype=xy.dtype), indexing="ij"
+    )
+    px = gx.reshape(-1)  # (HW,)
+    py = gy.reshape(-1)
+
+    if backend == "pallas":
+        from scflow_tpu.ops.pallas.rasterize import (
+            pack_faces_and_bin,
+            rasterize_packed_pallas,
+        )
+
+        fcsz = 128  # multiple of the 128-lane alignment Mosaic requires
+        th = 8 if h % 8 == 0 else h
+        tw = 128 if w % 128 == 0 else w
+        rows, active, perm = jax.lax.optimization_barrier(
+            pack_faces_and_bin(tri_xy, tri_z, face_valid, h, w, th, tw, fcsz)
+        )
+        fp = rows.shape[-1]
+        id_bits = max(1, math.ceil(math.log2(max(fp, 2))))
+        id_mask = (1 << id_bits) - 1
+        win = rasterize_packed_pallas(
+            rows, active, h, w, th=th, tw=tw, fc=fcsz, id_bits=id_bits
+        ).reshape(n, h * w)
+        background = win == jnp.int32(2**31 - 1)
+        fid_sorted = jnp.where(background, 0, win & jnp.int32(id_mask))
+        # map sorted face index back to the original face order
+        fid = jnp.take_along_axis(perm, fid_sorted, axis=1)
+        fid = jnp.where(background, -1, fid)
+    else:
+        id_bits = max(1, math.ceil(math.log2(max(f, 2))))
+        id_mask = (1 << id_bits) - 1
+        win = jax.lax.optimization_barrier(
+            _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask)
+        )
+        background = win == jnp.int32(2**31 - 1)
+        fid = jnp.where(background, -1, win & jnp.int32(id_mask))
+
+    # pass 2: exact z/barycentrics for the winner via row gathers.
+    # optimization_barrier keeps XLA from fusing the gathers into the math
+    # loop below (fused they degrade to per-element gathers: 27ms vs 3ms).
     safe_fid = jnp.maximum(fid, 0)
     wxy = jnp.take_along_axis(
         tri_xy.reshape(n, f, 6), safe_fid[..., None], axis=1
     )  # (N, HW, 6)
     wz = jnp.take_along_axis(tri_z, safe_fid[..., None], axis=1)  # (N, HW, 3)
+    wxy, wz = jax.lax.optimization_barrier((wxy, wz))
     w0e, w1e, w2e, _ = _bary(
         px[None], py[None],
         wxy[..., 0], wxy[..., 1], wxy[..., 2], wxy[..., 3], wxy[..., 4], wxy[..., 5],

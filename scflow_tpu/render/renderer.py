@@ -25,7 +25,60 @@ from scflow_tpu.render.rasterizer import Fragments, rasterize
 from scflow_tpu.render.shading import shade_phong
 
 
-@partial(jax.jit, static_argnames=("h", "w", "chunk", "flat_shading"))
+def _render_pallas(
+    verts_cam, normals_cam, colors, faces, face_valid, K, labels, h, w,
+    light_cam,
+):
+    """Fused raster+shade path: one Pallas kernel produces depth/mask and
+    interpolated normal/color maps (no per-pixel gathers); Phong lighting is
+    pure elementwise with surface positions reconstructed from depth rays."""
+    import math as _math
+
+    from scflow_tpu.ops.pallas.rasterize import (
+        pack_shaded_and_bin,
+        rasterize_shaded_pallas,
+    )
+    from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
+    from scflow_tpu.render.shading import phong_lighting
+
+    n = verts_cam.shape[0]
+    xy, z = project_to_screen(verts_cam, K)
+    tri_xy, tri_z = _gather_tri(xy, z, faces)
+    attr6 = jnp.concatenate([normals_cam, colors], axis=-1)  # (N, V, 6)
+    corner_attrs = jnp.stack(
+        [
+            jnp.take_along_axis(attr6, faces[:, :, j][..., None], axis=1)
+            for j in range(3)
+        ],
+        axis=2,
+    )  # (N, F, 3, 6)
+    th = 8 if h % 8 == 0 else h
+    tw = 128 if w % 128 == 0 else w
+    rows, active, perm = pack_shaded_and_bin(
+        tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, 128
+    )
+    id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
+    maps = rasterize_shaded_pallas(
+        rows, active, h, w, th=th, tw=tw, fc=128, id_bits=id_bits
+    )  # (N, 16, H, W)
+    depths = maps[:, 0]
+    fg = maps[:, 1] > 0.5
+    nrm = maps[:, 3:6].transpose(0, 2, 3, 1)
+    texel = maps[:, 6:9].transpose(0, 2, 3, 1)
+    # surface position from the depth ray through each pixel
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=depths.dtype), jnp.arange(w, dtype=depths.dtype),
+        indexing="ij",
+    )
+    homo = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
+    rays = jnp.einsum("nij,hwj->nhwi", jnp.linalg.inv(K), homo)
+    pos = rays * depths[..., None]
+    images = phong_lighting(pos, nrm, texel, light_cam, fg)
+    masks = fg.astype(images.dtype)
+    return {"images": images, "depths": depths, "masks": masks}
+
+
+@partial(jax.jit, static_argnames=("h", "w", "chunk", "flat_shading", "backend"))
 def render_batch(
     bank_verts: jnp.ndarray,  # (C, V, 3)
     bank_faces: jnp.ndarray,  # (C, F, 3)
@@ -41,6 +94,7 @@ def render_batch(
     w: int,
     chunk: int = 64,
     flat_shading: bool = False,
+    backend: str = "xla",  # 'xla' | 'pallas' (fused TPU raster+shade kernel)
 ) -> Dict[str, jnp.ndarray]:
     labels = labels.astype(jnp.int32)
     verts = jnp.take(bank_verts, labels, axis=0)  # (N, V, 3)
@@ -53,8 +107,6 @@ def render_batch(
     verts_cam = jnp.einsum("nij,nvj->nvi", rotations, verts) + translations[:, None]
     normals_cam = jnp.einsum("nij,nvj->nvi", rotations, normals)
 
-    fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)
-
     # per-object point light (reference seperate_lights heuristic)
     z = jnp.where(vert_valid, verts_cam[..., 2], jnp.inf)
     znear = jnp.min(z, axis=1)
@@ -66,6 +118,13 @@ def render_batch(
     )
     light_cam = jnp.einsum("nij,nj->ni", rotations, light_mesh) + translations
 
+    if backend == "pallas":
+        return _render_pallas(
+            verts_cam, normals_cam, colors, faces, face_valid, K, labels,
+            h, w, light_cam,
+        )
+
+    fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)
     images = shade_phong(
         fragments, faces, verts_cam, normals_cam, colors, light_cam,
         flat_shading=flat_shading,

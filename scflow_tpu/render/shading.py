@@ -49,12 +49,42 @@ def interpolate_attributes(
 
     fid = jnp.maximum(fragments.face_id.reshape(n, h * w), 0)
     pix = jnp.take_along_axis(fa, fid[..., None], axis=1)  # (N, HW, 3C)
+    # keep the row gather un-fused from the blend math (see rasterizer pass 2)
+    pix = jax.lax.optimization_barrier(pix)
     pix = pix.reshape(n, h * w, 3, c)
     b = fragments.bary.reshape(n, h * w, 3)
     out = (pix * b[..., None]).sum(axis=2)
     valid = (fragments.face_id.reshape(n, h * w) >= 0)[..., None]
     out = jnp.where(valid, out, 0.0)
     return out.reshape(n, h, w, c)
+
+
+def phong_lighting(
+    pos: jnp.ndarray,  # (N, H, W, 3) camera-frame surface positions
+    nrm: jnp.ndarray,  # (N, H, W, 3) (unnormalized ok)
+    texel: jnp.ndarray,  # (N, H, W, 3)
+    light_pos_cam: jnp.ndarray,  # (N, 3)
+    fg_mask: jnp.ndarray,  # (N, H, W) bool
+    ambient: float = 0.5,
+    diffuse: float = 0.3,
+    specular: float = 0.2,
+    shininess: float = 64.0,
+    background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+) -> jnp.ndarray:
+    """Pure-elementwise Phong shading given interpolated fragment maps."""
+    nrm = _normalize(nrm)
+    l = _normalize(light_pos_cam[:, None, None, :] - pos)
+    v = _normalize(-pos)
+    sign = jnp.where(jnp.sum(nrm * v, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    nrm = nrm * sign
+    ndl = jnp.maximum(jnp.sum(nrm * l, axis=-1, keepdims=True), 0.0)
+    r = 2.0 * ndl * nrm - l
+    rdv = jnp.maximum(jnp.sum(r * v, axis=-1, keepdims=True), 0.0)
+    spec = specular * jnp.where(ndl > 0, rdv**shininess, 0.0)
+    rgb = texel * (ambient + diffuse * ndl) + spec
+    bg = jnp.asarray(background_color, rgb.dtype)
+    rgb = jnp.where(fg_mask[..., None], rgb, bg)
+    return jnp.clip(rgb, 0.0, 1.0)
 
 
 def shade_phong(
@@ -76,21 +106,7 @@ def shade_phong(
     packed = jnp.concatenate([verts_cam, normals_cam, colors], axis=-1)  # (N,V,9)
     attr = interpolate_attributes(fragments, faces, packed)
     pos, nrm, texel = attr[..., 0:3], attr[..., 3:6], attr[..., 6:9]
-
-    nrm = _normalize(nrm)
-    l = _normalize(light_pos_cam[:, None, None, :] - pos)
-    v = _normalize(-pos)  # camera at origin
-    # flip normals toward the viewer (double-sided faces, matching
-    # pytorch3d's unculled rasterization of closed meshes seen from outside)
-    sign = jnp.where(jnp.sum(nrm * v, axis=-1, keepdims=True) < 0, -1.0, 1.0)
-    nrm = nrm * sign
-    ndl = jnp.maximum(jnp.sum(nrm * l, axis=-1, keepdims=True), 0.0)
-    r = 2.0 * ndl * nrm - l
-    rdv = jnp.maximum(jnp.sum(r * v, axis=-1, keepdims=True), 0.0)
-    spec = specular * jnp.where(ndl > 0, rdv**shininess, 0.0)
-
-    rgb = texel * (ambient + diffuse * ndl) + spec
-    bg = jnp.asarray(background_color, rgb.dtype)
-    mask = (fragments.face_id >= 0)[..., None]
-    rgb = jnp.where(mask, rgb, bg)
-    return jnp.clip(rgb, 0.0, 1.0)
+    return phong_lighting(
+        pos, nrm, texel, light_pos_cam, fragments.face_id >= 0,
+        ambient, diffuse, specular, shininess, background_color,
+    )
