@@ -209,3 +209,51 @@ def build_eval_fn(cfg, model, render_assets, dataset, image_size=(256, 256)):
         return dataset.evaluate(results, metric=metric)
 
     return eval_fn
+
+
+def build_tb_image_fn(cfg, model, render_assets, image_size=(256, 256)):
+    """TensorboardHook image_fn: renders flow/image/mask panels from the
+    runner's last training batch (reference TensorboardImgLoggerHook protocol,
+    models/utils/tensorboard_hook.py:27-60 + base_refiner.add_vis_images)."""
+    from scflow_tpu.geometry.flow import flow_from_pose_and_depth
+    from scflow_tpu.utils.visualize import flow2rgb
+
+    infer, _ = make_infer_from_cfg(cfg, model, render_assets, image_size)
+    norm_mean = np.asarray(cfg.get("normalize_mean", [0.0, 0.0, 0.0]))
+    norm_std = np.asarray(cfg.get("normalize_std", [255.0, 255.0, 255.0]))
+    max_flow = cfg.model.get("max_flow", 400.0)
+
+    def image_fn(runner):
+        batch = runner.last_batch
+        if batch is None:
+            return {}
+        variables = {"params": runner.state.params}
+        if runner.state.batch_stats is not None:
+            variables["batch_stats"] = runner.state.batch_stats
+        out = jax.device_get(infer(variables, batch))
+        imgs = {}
+        real = np.asarray(jax.device_get(batch["real_images"][0]))
+        imgs["train/real_image"] = np.clip(
+            (real * norm_std + norm_mean) / 255.0, 0, 1
+        )
+        if "flow" in out:
+            pred_flow = np.asarray(out["flow"][0])
+            imgs["train/pred_flow"] = flow2rgb(pred_flow, unknown_thr=max_flow - 1)
+        if "masks" in out:
+            m = np.asarray(out["masks"][0])
+            imgs["train/pred_mask"] = np.repeat(m[..., None], 3, axis=-1)
+        if "gt_rotations" in batch:
+            gt_flow = np.asarray(
+                jax.device_get(
+                    flow_from_pose_and_depth(
+                        batch["ref_rotations"][:1], batch["ref_translations"][:1],
+                        batch["gt_rotations"][:1], batch["gt_translations"][:1],
+                        jnp.zeros((1,) + tuple(image_size)), batch["k"][:1],
+                        invalid_num=max_flow,
+                    )
+                )
+            )[0]
+            imgs["train/gt_flow"] = flow2rgb(gt_flow, unknown_thr=max_flow - 1)
+        return imgs
+
+    return image_fn

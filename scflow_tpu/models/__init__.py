@@ -4,6 +4,7 @@ from scflow_tpu.models.motion import MotionEncoder, ConvGRU, XHead
 from scflow_tpu.models.pose_head import SingleClassPoseHead, MultiClassPoseHead
 from scflow_tpu.models.raft_decoder import RAFTDecoder, RAFTDecoderMask
 from scflow_tpu.models.scflow_decoder import SCFlowDecoder
+from scflow_tpu.models.densenet import DenseLayer, BasicDenseBlock
 
 __all__ = [
     "ConvModule",
@@ -17,4 +18,6 @@ __all__ = [
     "RAFTDecoder",
     "RAFTDecoderMask",
     "SCFlowDecoder",
+    "DenseLayer",
+    "BasicDenseBlock",
 ]

@@ -4,8 +4,13 @@ to the flax refiner modules.  Keeps the reference's config key names
 
 from typing import Any, Dict
 
+import jax.numpy as jnp
+
 from scflow_tpu.refiners.raft import RAFTRefinerFlow, RAFTRefinerFlowMask
 from scflow_tpu.refiners.scflow import SCFlowRefiner
+
+_DTYPES = {None: None, "fp32": None, "float32": None,
+           "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}
 
 
 def _norm_of(enc_cfg: Dict[str, Any], default: str) -> str:
@@ -31,6 +36,7 @@ def build_refiner_from_config(model_cfg: Dict[str, Any]):
         iters=dec.get("iters", 8),
         gru_type=dec.get("gru_type", "SeqConv"),
         max_flow=cfg.get("max_flow", 400.0),
+        dtype=_DTYPES[cfg.get("dtype")],
     )
     if mtype == "SCFlowRefiner":
         return SCFlowRefiner(

@@ -414,3 +414,60 @@ def make_scflow_infer_fn(
         }
 
     return infer
+
+
+def make_raft_val_step(
+    model,
+    render_assets: RenderAssets,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    max_flow: float = 400.0,
+    iters: Optional[int] = None,
+    render_backend: str = "xla",
+):
+    """Validation metrics for the flow refiners (reference
+    raft_refiner_flow_mask.py:241-283): flow EPE (+noc variant filtered by
+    the gt mask) with {1,3,5}px accuracies and occlusion L1."""
+    from scflow_tpu.geometry.flow import cal_epe
+
+    @jax.jit
+    def val_step(variables, batch):
+        rendered_images, rendered_depths, rendered_masks = render_and_normalize(
+            render_assets, batch["ref_rotations"], batch["ref_translations"],
+            batch["k"], batch["labels"], image_size, norm_mean, norm_std,
+            backend=render_backend,
+        )
+        out = model.apply(
+            variables, rendered_images, batch["real_images"], iters=iters,
+            train=False,
+        )
+        flow = out["flow"][-1]
+        gt_flow = flow_from_pose_and_depth(
+            batch["ref_rotations"], batch["ref_translations"],
+            batch["gt_rotations"], batch["gt_translations"],
+            rendered_depths, batch["k"], invalid_num=max_flow,
+        )
+        metrics = {}
+        epe = cal_epe(gt_flow, flow, None, max_flow=max_flow,
+                      reduction="total_mean")
+        for k, v in epe.items():
+            metrics[f"epe_{k}"] = v
+        if "gt_masks" in batch:
+            noc = filter_flow_by_mask(gt_flow, batch["gt_masks"], max_flow)
+            epe_noc = cal_epe(noc, flow, None, max_flow=max_flow,
+                              reduction="total_mean")
+            for k, v in epe_noc.items():
+                metrics[f"epe_noc_{k}"] = v
+            occ_gt = (jnp.sqrt(jnp.sum(noc**2, axis=-1)) < max_flow).astype(
+                jnp.float32
+            )
+        else:
+            occ_gt = (jnp.sqrt(jnp.sum(gt_flow**2, axis=-1)) < max_flow).astype(
+                jnp.float32
+            )
+        if "occlusion" in out:
+            metrics["occ"] = jnp.abs(occ_gt - out["occlusion"][-1]).mean()
+        return metrics
+
+    return val_step

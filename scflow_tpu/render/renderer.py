@@ -78,7 +78,10 @@ def _render_pallas(
     return {"images": images, "depths": depths, "masks": masks}
 
 
-@partial(jax.jit, static_argnames=("h", "w", "chunk", "flat_shading", "backend"))
+@partial(jax.jit, static_argnames=(
+    "h", "w", "chunk", "flat_shading", "backend", "shading",
+    "seperate_lights", "default_lights",
+))
 def render_batch(
     bank_verts: jnp.ndarray,  # (C, V, 3)
     bank_faces: jnp.ndarray,  # (C, F, 3)
@@ -95,6 +98,9 @@ def render_batch(
     chunk: int = 64,
     flat_shading: bool = False,
     backend: str = "xla",  # 'xla' | 'pallas' (fused TPU raster+shade kernel)
+    shading: str = "phong",  # 'phong' | 'flat' | 'gouraud' (xla backend)
+    seperate_lights: bool = True,
+    default_lights: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     labels = labels.astype(jnp.int32)
     verts = jnp.take(bank_verts, labels, axis=0)  # (N, V, 3)
@@ -107,16 +113,24 @@ def render_batch(
     verts_cam = jnp.einsum("nij,nvj->nvi", rotations, verts) + translations[:, None]
     normals_cam = jnp.einsum("nij,nvj->nvi", rotations, normals)
 
-    # per-object point light (reference seperate_lights heuristic)
+    # point-light placement (reference rendering.py:194-213): seperate_lights
+    # puts one light per object at R @ (0, 0, max(znear_obj - 400, 0)) in
+    # mesh space; otherwise a single light at znear/4 on the optical axis
     z = jnp.where(vert_valid, verts_cam[..., 2], jnp.inf)
     znear = jnp.min(z, axis=1)
-    lz = jnp.maximum(znear - 400.0, 0.0)
+    if seperate_lights:
+        lz = jnp.maximum(znear - 400.0, 0.0)
+    else:
+        lz = jnp.broadcast_to(jnp.min(znear) / 4.0, znear.shape)
     light_mesh = jnp.einsum(
         "nij,nj->ni",
         rotations,
         jnp.stack([jnp.zeros_like(lz), jnp.zeros_like(lz), lz], axis=-1),
     )
     light_cam = jnp.einsum("nij,nj->ni", rotations, light_mesh) + translations
+    # light colors: pytorch3d PointLights defaults vs the reference's
+    # explicit non-default set (rendering.py:204)
+    amb, dif, spec = (0.5, 0.3, 0.2) if default_lights else (0.8, 0.5, 1.0)
 
     if backend == "pallas":
         return _render_pallas(
@@ -127,7 +141,8 @@ def render_batch(
     fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)
     images = shade_phong(
         fragments, faces, verts_cam, normals_cam, colors, light_cam,
-        flat_shading=flat_shading,
+        ambient=amb, diffuse=dif, specular=spec,
+        flat_shading=flat_shading, mode=shading,
     )
     depths = fragments.zbuf
     masks = (depths > 0).astype(images.dtype)
@@ -145,6 +160,8 @@ class Renderer:
         shader_type: str = "Phong",
         background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
         seperate_lights: bool = True,
+        default_lights: bool = True,
+        backend: str = "xla",
         chunk: int = 64,
         **unused,
     ):
@@ -156,6 +173,9 @@ class Renderer:
         self.image_size = tuple(image_size)
         self.shader_type = shader_type
         self.background_color = tuple(background_color)
+        self.seperate_lights = seperate_lights
+        self.default_lights = default_lights
+        self.backend = backend
         self.chunk = chunk
         self._dev = {
             "verts": jnp.asarray(bank.verts),
@@ -182,5 +202,9 @@ class Renderer:
             hh,
             ww,
             chunk=self.chunk,
-            flat_shading=self.shader_type == "Flat",
+            flat_shading=False,
+            backend=self.backend,
+            shading=self.shader_type.lower(),
+            seperate_lights=self.seperate_lights,
+            default_lights=self.default_lights,
         )

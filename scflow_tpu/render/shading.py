@@ -100,13 +100,44 @@ def shade_phong(
     shininess: float = 64.0,
     background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
     flat_shading: bool = False,
+    mode: str = "phong",  # 'phong' | 'flat' | 'gouraud'
 ) -> jnp.ndarray:
-    """Returns RGB (N, H, W, 3) in [0, 1]."""
+    """Returns RGB (N, H, W, 3) in [0, 1].
+
+    Modes follow pytorch3d's Hard{Phong,Flat,Gouraud}Shader: 'flat' lights
+    with the face normal, 'gouraud' lights at the vertices and interpolates
+    the resulting color."""
+    if flat_shading:
+        mode = "flat"
     n, h, w = fragments.face_id.shape
+    fg = fragments.face_id >= 0
+
+    if mode == "gouraud":
+        vert_rgb = phong_lighting(
+            verts_cam[:, :, None], normals_cam[:, :, None],
+            colors[:, :, None], light_pos_cam,
+            jnp.ones(verts_cam.shape[:2] + (1,), bool),
+            ambient, diffuse, specular, shininess, background_color,
+        )[:, :, 0]  # (N, V, 3)
+        rgb = interpolate_attributes(fragments, faces, vert_rgb)
+        bg = jnp.asarray(background_color, rgb.dtype)
+        return jnp.clip(jnp.where(fg[..., None], rgb, bg), 0.0, 1.0)
+
     packed = jnp.concatenate([verts_cam, normals_cam, colors], axis=-1)  # (N,V,9)
     attr = interpolate_attributes(fragments, faces, packed)
     pos, nrm, texel = attr[..., 0:3], attr[..., 3:6], attr[..., 6:9]
+
+    if mode == "flat":
+        # face normal of the winner via a row gather
+        v0 = jnp.take_along_axis(verts_cam, faces[:, :, 0][..., None], axis=1)
+        v1 = jnp.take_along_axis(verts_cam, faces[:, :, 1][..., None], axis=1)
+        v2 = jnp.take_along_axis(verts_cam, faces[:, :, 2][..., None], axis=1)
+        fnrm = jnp.cross(v1 - v0, v2 - v0)  # (N, F, 3)
+        fid = jnp.maximum(fragments.face_id.reshape(n, h * w), 0)
+        nrm = jnp.take_along_axis(fnrm, fid[..., None], axis=1)
+        nrm = jax.lax.optimization_barrier(nrm).reshape(n, h, w, 3)
+
     return phong_lighting(
-        pos, nrm, texel, light_pos_cam, fragments.face_id >= 0,
+        pos, nrm, texel, light_pos_cam, fg,
         ambient, diffuse, specular, shininess, background_color,
     )

@@ -159,6 +159,8 @@ class IterRunner:
         self.logger = logger or get_logger("scflow_tpu")
         self.step = int(jax.device_get(state.step))
         self.last_log: Dict[str, float] = {}
+        self.last_batch = None
+        self.last_host_extras = None
         self.eval_history: List = []
         self.nan_check = nan_check
         os.makedirs(work_dir, exist_ok=True)
@@ -193,6 +195,8 @@ class IterRunner:
                 if k in ("img_metas", "per_img_patch_num")
             }
             device_batch = self.put_batch(batch)
+            self.last_batch = device_batch
+            self.last_host_extras = host_extras
             self.state, logs = self.train_step(self.state, device_batch)
             self.step += 1
             self.last_log = {k: float(jax.device_get(v)) for k, v in logs.items()}
