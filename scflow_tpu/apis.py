@@ -163,6 +163,17 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
     test_cfg = mcfg.get("test_cfg", {})
     iters = test_cfg.get("iters")
     if mcfg["type"] == "SCFlowRefiner":
+        cycles = test_cfg.get("cycles", 1)
+        if cycles > 1:
+            from scflow_tpu.refiners.system import make_scflow_cycled_infer_fn
+
+            return (
+                make_scflow_cycled_infer_fn(
+                    model, render_assets, cycles=cycles,
+                    image_size=image_size, iters=iters,
+                ),
+                None,
+            )
         return (
             make_scflow_infer_fn(model, render_assets, image_size=image_size,
                                  iters=iters),

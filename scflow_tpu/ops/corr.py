@@ -130,3 +130,33 @@ def corr_lookup(
         )  # (B, k0, k1)
         outs.append(out.reshape(n, h, w, k * k))
     return jnp.concatenate(outs, axis=-1)
+
+
+def local_correlation(
+    feat1: jnp.ndarray, feat2: jnp.ndarray, max_displacement: int = 4,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Local-window correlation (the mmcv.ops.Correlation CUDA op wrapped by
+    the reference's CorrBlock util, models/utils/corr_block.py:9-109 —
+    registered but unused by shipped configs; provided for parity).
+
+    feat*: (N, H, W, C); returns (N, H, W, (2d+1)^2) with channel
+    (dy+d)*(2d+1)+(dx+d) = <feat1[p], feat2[p+(dy,dx)]>, implemented as
+    shifted zero-padded products (pure elementwise + reduce, no gathers).
+    """
+    n, h, w, c = feat1.shape
+    d = max_displacement
+    if normalize:
+        feat1 = feat1 / jnp.maximum(
+            jnp.linalg.norm(feat1, axis=-1, keepdims=True), 1e-9
+        )
+        feat2 = feat2 / jnp.maximum(
+            jnp.linalg.norm(feat2, axis=-1, keepdims=True), 1e-9
+        )
+    padded = jnp.pad(feat2, ((0, 0), (d, d), (d, d), (0, 0)))
+    outs = []
+    for dy in range(-d, d + 1):
+        for dx in range(-d, d + 1):
+            shifted = padded[:, d + dy : d + dy + h, d + dx : d + dx + w, :]
+            outs.append(jnp.sum(feat1 * shifted, axis=-1))
+    return jnp.stack(outs, axis=-1)

@@ -471,3 +471,46 @@ def make_raft_val_step(
         return metrics
 
     return val_step
+
+
+def make_scflow_cycled_infer_fn(
+    model,
+    render_assets: RenderAssets,
+    cycles: int = 2,
+    image_size: Tuple[int, int] = (256, 256),
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    iters: Optional[int] = None,
+    render_chunk: int = 64,
+    render_backend: str = "xla",
+):
+    """Multi-pass refinement (reference forward_multiple_pass,
+    base_refiner.py:249-260): after each cycle the object is re-rendered at
+    the refined pose and refined again.  All cycles run in one jit."""
+
+    @jax.jit
+    def infer(variables, batch):
+        R = batch["ref_rotations"]
+        t = batch["ref_translations"]
+        out = None
+        for _ in range(cycles):
+            rendered_images, rendered_depths, _ = render_and_normalize(
+                render_assets, R, t, batch["k"], batch["labels"],
+                image_size, norm_mean, norm_std, chunk=render_chunk,
+                backend=render_backend,
+            )
+            out = model.apply(
+                variables, rendered_images, batch["real_images"], R, t,
+                rendered_depths, batch["k"], batch["labels"], iters=iters,
+                train=False,
+            )
+            R = out["rotations"][-1]
+            t = out["translations"][-1]
+        return {
+            "rotations": R,
+            "translations": t,
+            "masks": out["masks"][-1],
+            "flow": out["flow_from_pred"][-1],
+        }
+
+    return infer

@@ -47,6 +47,7 @@ def main():
         build_eval_fn,
         build_loss_assets,
         build_render_assets,
+        build_tb_image_fn,
         init_model_variables,
         load_init_weights,
         make_train_step_from_cfg,
@@ -118,8 +119,13 @@ def main():
     for hcfg in cfg.get("log_config", {}).get("hooks", []):
         if hcfg.get("type", "").startswith("Tensorboard"):
             hooks.append(
-                TensorboardHook(os.path.join(work_dir, "tb"),
-                                interval=cfg.get("log_config", {}).get("interval", 50))
+                TensorboardHook(
+                    os.path.join(work_dir, "tb"),
+                    interval=cfg.get("log_config", {}).get("interval", 50),
+                    image_interval=hcfg.get("interval", 0),
+                    image_fn=build_tb_image_fn(cfg, model, render_assets,
+                                               image_size),
+                )
             )
     eval_cfg = cfg.get("evaluation")
     if eval_cfg and "val" in cfg.data:
