@@ -231,3 +231,60 @@ class Normalize(ColorTransform):
             results = super().__call__(results)
         results["img_norm_cfg"] = dict(mean=self.mean, std=self.std, to_rgb=self.to_rgb)
         return results
+
+
+@PIPELINES.register_module("RandomOcclusionV2")
+class RandomOcclusionV2:
+    """Paste a random occluder image (black background) over the object with
+    a random scale/rotation/translation; masks are updated
+    (color_transform.py:333-402)."""
+
+    def __init__(self, augment_mask_field, data_root, image_list,
+                 file_client_args=None, p=1.0, scale_range=(0.5, 1.0),
+                 rotate_range=(-45, 45)):
+        self.data_root = data_root
+        with open(image_list) as f:
+            self.image_list = [
+                osp.join(data_root, line.strip()) for line in f if line.strip()
+            ]
+        self.augment_mask_field = augment_mask_field
+        self.p = p
+        self.scale_range = scale_range
+        self.rotate_range = rotate_range
+
+    def __call__(self, results):
+        if random.random() > self.p:
+            return results
+        img = results["img"]
+        mask = results[self.augment_mask_field]
+        h, w = img.shape[:2]
+        occ_bgr = cv2.imread(random.choice(self.image_list), cv2.IMREAD_COLOR)
+        if occ_bgr is None:
+            return results
+        if occ_bgr.shape[:2] != (h, w):
+            occ_bgr = cv2.resize(occ_bgr, (w, h))
+        occ_fg = (
+            (occ_bgr[..., 0] > 0) | (occ_bgr[..., 1] > 0) | (occ_bgr[..., 2] > 0)
+        ).astype(np.uint8)
+        occ_masks = BitmapMasks([occ_fg], h, w)
+        ob = occ_masks.get_bboxes()[0]
+        origin = mask.get_bboxes()[0]
+        if ob[2] <= ob[0] or origin[2] <= origin[0]:
+            return results
+        ocx, ocy = (ob[0] + ob[2]) / 2, (ob[1] + ob[3]) / 2
+        pleft = random.randint(int(ocx - origin[2]), int(ocx - origin[0]))
+        ptop = random.randint(int(ocy - origin[3]), int(ocy - origin[1]))
+        shift = np.array([[1, 0, -pleft], [0, 1, -ptop], [0, 0, 1]], np.float32)
+        scale = np.sqrt(max(mask.areas[0], 1) / max(occ_masks.areas[0], 1))
+        sf = random.uniform(scale * self.scale_range[0], scale * self.scale_range[1])
+        angle = random.uniform(*self.rotate_range)
+        rs = cv2.getRotationMatrix2D((ocx, ocy), angle=angle, scale=sf)
+        tm = shift @ np.concatenate([rs, [[0, 0, 1]]], axis=0)
+        occ_bgr = cv2.warpAffine(occ_bgr, tm[:2], (w, h), flags=cv2.INTER_LINEAR,
+                                 borderValue=(0, 0, 0))
+        occ_fg_w = occ_masks.warpaffine(tm[:2], w, h)
+        alpha = occ_fg_w.masks[0].astype(np.float32)[..., None]
+        results["img"] = ((1 - alpha) * img + alpha * occ_bgr).astype(np.uint8)
+        for field in results.get("mask_fields", ["gt_masks"]):
+            results[field] = results[field].merge_background_mask(occ_fg_w.masks[0])
+        return results
