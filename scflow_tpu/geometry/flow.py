@@ -126,6 +126,25 @@ def filter_flow_by_depth(
     return jnp.where(bad[..., None], jnp.asarray(invalid_num, flow.dtype), flow)
 
 
+def filter_flow_by_face_index(
+    flow: jnp.ndarray,
+    face_index1: jnp.ndarray,
+    face_index2: jnp.ndarray,
+    invalid_num: float = 400.0,
+) -> jnp.ndarray:
+    """Invalidate flow whose warped target face id disagrees with the source
+    face id (models/utils/flow.py:47-59; nearest sampling)."""
+    grid = _normalized_grid_from_flow(flow)
+    warped = grid_sample(
+        face_index2[..., None].astype(flow.dtype), grid,
+        mode="nearest", padding_mode="zeros", align_corners=True,
+    )[..., 0]
+    consistent = warped == face_index1.astype(flow.dtype)
+    already_invalid = (flow[..., 0] >= invalid_num) & (flow[..., 1] >= invalid_num)
+    bad = already_invalid | (~consistent)
+    return jnp.where(bad[..., None], jnp.asarray(invalid_num, flow.dtype), flow)
+
+
 def cal_epe(
     flow_tgt: jnp.ndarray,
     flow_pred: jnp.ndarray,

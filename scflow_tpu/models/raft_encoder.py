@@ -34,6 +34,42 @@ class _Norm(nn.Module):
         raise ValueError(self.kind)
 
 
+class Bottleneck(nn.Module):
+    """mmcv Bottleneck (expansion 4) — the reference's 'Small' net_type
+    (models/backbone/resnet.py:97; unused by shipped configs)."""
+
+    planes: int
+    stride: int = 1
+    norm: Optional[str] = "BN"
+    with_downsample: bool = False
+    dtype: Any = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=True, dtype=self.dtype,
+                      name="conv1")(x)
+        out = _Norm(self.norm, name="norm1")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
+                      name="conv2")(out)
+        out = _Norm(self.norm, name="norm2")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=True,
+                      dtype=self.dtype, name="conv3")(out)
+        out = _Norm(self.norm, name="norm3")(out, train)
+        if self.with_downsample:
+            identity = nn.Conv(
+                self.planes * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = _Norm(self.norm, name="downsample_norm")(identity, train)
+        return nn.relu(out + identity)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -76,15 +112,16 @@ class RAFTEncoder(nn.Module):
     scale: float = 1.0 / 8
     dtype: Any = None
 
-    _base_channels = {"Basic": (64, 96, 128), "Large": (64, 96)}
-    _strides = {"Basic": (1, 2, 2), "Large": (1, 2)}
-    _stem_channels = {"Basic": 64, "Large": 64}
-    _stage_blocks = {"Basic": (2, 2, 2), "Large": (2, 2)}
+    _base_channels = {"Basic": (64, 96, 128), "Large": (64, 96),
+                      "Small": (8, 16, 24)}
+    _strides = {"Basic": (1, 2, 2), "Large": (1, 2), "Small": (1, 2, 2)}
+    _stem_channels = {"Basic": 64, "Large": 64, "Small": 32}
+    _stage_blocks = {"Basic": (2, 2, 2), "Large": (2, 2), "Small": (2, 2, 2)}
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.net_type not in self._base_channels:
-            raise KeyError(f"net_type {self.net_type} unsupported (Basic/Large)")
+            raise KeyError(f"net_type {self.net_type} unsupported")
         stem_stride = 1 if self.scale == 1.0 / 4 else 2
         stem_ch = self._stem_channels[self.net_type]
         x = nn.Conv(
@@ -103,15 +140,17 @@ class RAFTEncoder(nn.Module):
                 self._stage_blocks[self.net_type],
             )
         ):
+            block_cls = Bottleneck if self.net_type == "Small" else BasicBlock
+            expansion = 4 if self.net_type == "Small" else 1
             for b in range(blocks):
                 s = stride if b == 0 else 1
-                need_ds = (s != 1) or (inplanes != planes)
-                x = BasicBlock(
+                need_ds = (s != 1) or (inplanes != planes * expansion)
+                x = block_cls(
                     planes=planes, stride=s, norm=self.norm,
                     with_downsample=need_ds, dtype=self.dtype,
                     name=f"layer{i + 1}_block{b}",
                 )(x, train)
-                inplanes = planes
+                inplanes = planes * expansion
         x = nn.Conv(
             self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
             name="out_conv",

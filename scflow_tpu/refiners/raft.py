@@ -70,8 +70,28 @@ class _RAFTRefinerBase(nn.Module):
         )
 
     def extract_feat(self, render_images, real_images, train: bool = False):
+        """Multi-view broadcast (raft_refiner_flow_mask.py:88-118): a single
+        unbatched (H, W, 3) image on either side is encoded once and expanded
+        across the other side's views."""
+        if real_images.ndim == 3:
+            real_feat = self.real_encoder(real_images[None], train)
+            real_feat = jnp.broadcast_to(
+                real_feat, (render_images.shape[0],) + real_feat.shape[1:]
+            )
+        else:
+            real_feat = self.real_encoder(real_images, train)
+        if render_images.ndim == 3:
+            views = real_images.shape[0]
+            render_feat = self.render_encoder(render_images[None], train)
+            cxt = self.context(render_images[None], train)
+            render_feat = jnp.broadcast_to(
+                render_feat, (views,) + render_feat.shape[1:]
+            )
+            cxt = jnp.broadcast_to(cxt, (views,) + cxt.shape[1:])
+            h_feat = nn.tanh(cxt[..., : self.h_channels])
+            cxt_feat = nn.relu(cxt[..., self.h_channels :])
+            return render_feat, real_feat, h_feat, cxt_feat
         render_feat = self.render_encoder(render_images, train)
-        real_feat = self.real_encoder(real_images, train)
         cxt = self.context(render_images, train)
         h_feat = nn.tanh(cxt[..., : self.h_channels])
         cxt_feat = nn.relu(cxt[..., self.h_channels :])
