@@ -91,6 +91,7 @@ class SCFlowDecoder(nn.Module):
         init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
         invalid_flow_num: float = 0.0,
         iters: Optional[int] = None,
+        output_sequences: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         scale = 2 ** (self.num_levels - 1)
@@ -143,7 +144,7 @@ class SCFlowDecoder(nn.Module):
             "delta_translations": [],
         }
 
-        for _ in range(iters):
+        for it in range(iters):
             if self.detach_flow:
                 flow = jax.lax.stop_gradient(flow)
             if self.detach_mask:
@@ -184,12 +185,13 @@ class SCFlowDecoder(nn.Module):
                 points_obj, points_valid, R, t, internal_k, invalid_flow_num
             )
 
-            seqs["flow_from_pose"].append(flow)
-            seqs["flow_from_pred"].append(flow_pred)
-            seqs["rotations"].append(R)
-            seqs["translations"].append(t)
-            seqs["masks"].append(mask_up[..., 0])
-            seqs["delta_rotations"].append(d_rot)
-            seqs["delta_translations"].append(d_trans)
+            if output_sequences or it == iters - 1:
+                seqs["flow_from_pose"].append(flow)
+                seqs["flow_from_pred"].append(flow_pred)
+                seqs["rotations"].append(R)
+                seqs["translations"].append(t)
+                seqs["masks"].append(mask_up[..., 0])
+                seqs["delta_rotations"].append(d_rot)
+                seqs["delta_translations"].append(d_trans)
 
         return {k: jnp.stack(v, axis=0) for k, v in seqs.items()}

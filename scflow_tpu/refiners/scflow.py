@@ -84,11 +84,18 @@ class SCFlowRefiner(nn.Module):
         )
 
     def extract_feat(self, render_images, real_images, train: bool = False):
-        """3 CNN passes (scflow_refiner.py:88-110): feature encoders on both
-        images, context encoder on the rendered image split into tanh(h) /
-        relu(cxt)."""
-        render_feat = self.render_encoder(render_images, train)
-        real_feat = self.real_encoder(real_images, train)
+        """Feature + context extraction (scflow_refiner.py:88-110).  With a
+        shared feature encoder, both images run as ONE doubled batch — one
+        conv dispatch with better MXU utilization than two half-size passes.
+        (InstanceNorm is per-sample, so the fusion is numerically exact.)"""
+        if not self.seperate_encoder:
+            n = render_images.shape[0]
+            both = jnp.concatenate([render_images, real_images], axis=0)
+            feats = self.render_encoder(both, train)
+            render_feat, real_feat = feats[:n], feats[n:]
+        else:
+            render_feat = self.render_encoder(render_images, train)
+            real_feat = self.real_encoder(real_images, train)
         cxt = self.context(render_images, train)
         h_feat = nn.tanh(cxt[..., : self.h_channels])
         cxt_feat = nn.relu(cxt[..., self.h_channels :])
@@ -106,6 +113,7 @@ class SCFlowRefiner(nn.Module):
         init_flow: Optional[jnp.ndarray] = None,
         iters: Optional[int] = None,
         train: bool = False,
+        output_sequences: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
             render_images, real_images, train
@@ -123,4 +131,5 @@ class SCFlowRefiner(nn.Module):
             init_flow=init_flow,
             invalid_flow_num=0.0,
             iters=iters,
+            output_sequences=output_sequences,
         )

@@ -403,6 +403,7 @@ def make_scflow_infer_fn(
             batch["labels"],
             iters=iters,
             train=False,
+            output_sequences=False,
         )
         return {
             "rotations": out["rotations"][-1],
