@@ -107,7 +107,7 @@ model = dict(
     cxt_encoder=dict(type="RAFTEncoder", in_channels=3, out_channels=256,
                      net_type="Basic", norm_cfg=dict(type="BN")),
     decoder=dict(
-        type="SCFlowDecoder", net_type="Basic", num_levels=4, radius=4,
+        type="{decoder_type}", net_type="Basic", num_levels=4, radius=4,
         iters=2, detach_flow=True, detach_mask=True, detach_pose=True,
         detach_depth_for_xy=True, mask_flow=False, mask_corr=False,
         pose_head_cfg=dict(type="MultiClassPoseHead", num_class=2,
@@ -176,6 +176,7 @@ class TestCLI:
             CONFIG_TMPL.format(
                 root=str(root / "data"), diameters=info["diameters"],
                 work_dir=str(work_dir), model_type="SCFlowRefiner",
+                decoder_type="SCFlowDecoder",
             )
         )
         r = run([sys.executable, "tools/train.py", str(cfg_path)])
@@ -198,5 +199,32 @@ class TestCLI:
         # eval json dumped
         evals = list(work_dir.glob("eval_*.json"))
         assert evals, r2.stderr[-2000:]
+        metrics = json.loads(evals[-1].read_text())
+        assert "average/add_10" in metrics
+
+
+    def test_train_and_test_raft(self, workspace):
+        """RAFT flow+occlusion refiner through the CLI, exercising the
+        PnP-from-flow eval path."""
+        root, info = workspace
+        work_dir = root / "work_raft"
+        cfg_path = root / "raft_tiny.py"
+        cfg_path.write_text(
+            CONFIG_TMPL.format(
+                root=str(root / "data"), diameters=info["diameters"],
+                work_dir=str(work_dir), model_type="RAFTRefinerFlowMask",
+                decoder_type="RAFTDecoderMask",
+            )
+        )
+        r = run([sys.executable, "tools/train.py", str(cfg_path)])
+        assert r.returncode == 0, r.stderr[-4000:]
+        ckpt = str(work_dir / "checkpoints" / "4")
+        r2 = run(
+            [sys.executable, "tools/test.py", str(cfg_path),
+             "--checkpoint", ckpt, "--eval"]
+        )
+        assert r2.returncode == 0, r2.stderr[-4000:]
+        evals = list(work_dir.glob("eval_*.json"))
+        assert evals
         metrics = json.loads(evals[-1].read_text())
         assert "average/add_10" in metrics

@@ -177,3 +177,20 @@ class TestOneCycle:
             tsched.step()
         mine = np.array([float(sched(i)) for i in range(total)])
         np.testing.assert_allclose(mine, np.array(torch_lrs), rtol=0.02, atol=2e-6)
+
+
+class TestCycledInfer:
+    def test_cycles_match_identity_at_init(self, setup):
+        """Zero-init pose head: every cycle re-renders at the same pose, so
+        the cycled output equals the reference pose too."""
+        from scflow_tpu.refiners.system import make_scflow_cycled_infer_fn
+
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        infer2 = make_scflow_cycled_infer_fn(
+            model, render_assets, cycles=2, image_size=(H, W), render_chunk=16
+        )
+        out = infer2(variables, batch)
+        np.testing.assert_allclose(
+            np.asarray(out["rotations"]), np.asarray(batch["ref_rotations"]),
+            atol=1e-4,
+        )
