@@ -68,8 +68,6 @@ def main():
     depth0 = jnp.zeros((batch, img, img))
     variables = model.init(key, real, real, R, t, depth0, K, labels)
 
-    import jax
-
     on_tpu = jax.default_backend() == "tpu"
     infer = make_scflow_infer_fn(
         model, render_assets, image_size=(img, img),

@@ -2,17 +2,13 @@
 infer fn / runner.  Used by tools/train.py and tools/test.py."""
 
 import os
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scflow_tpu.datasets import DataLoader, build_dataset
 from scflow_tpu.losses.point_matching import sym_mask_from_types
-from scflow_tpu.parallel import make_mesh, replicate, shard_batch
-from scflow_tpu.refiners import build_refiner_from_config
 from scflow_tpu.refiners.flow_pose import solve_poses_from_flow
 from scflow_tpu.refiners.system import (
     LossAssets,
@@ -23,17 +19,7 @@ from scflow_tpu.refiners.system import (
     make_scflow_train_step,
 )
 from scflow_tpu.render.meshbank import MeshBank
-from scflow_tpu.runtime import (
-    CheckpointHook,
-    EvalHook,
-    IterRunner,
-    TensorboardHook,
-    TextLoggerHook,
-    TrainState,
-    build_optimizer,
-    convert_torch_checkpoint,
-    load_params,
-)
+from scflow_tpu.runtime import convert_torch_checkpoint, load_params
 from scflow_tpu.runtime.eval_loop import single_process_test
 from scflow_tpu.utils.logging import get_logger
 

@@ -11,7 +11,7 @@ compatible so the reference's configs port 1:1.
 import copy
 import os
 import types
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, Optional
 
 
 class ConfigDict(dict):

@@ -11,7 +11,7 @@ import json
 import random
 from os import path as osp
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ collate to dense NHWC arrays ready for `jax.device_put` onto the data mesh.
 
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterator, List, Optional
+from typing import Any, Callable, Dict, Iterator, List
 
 import numpy as np
 

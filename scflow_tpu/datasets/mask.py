@@ -3,7 +3,7 @@ BitmapMasks (datasets/mask.py:12-419) without the roi_align CUDA dependency.
 Only the operations exercised by the shipped pipelines are implemented, plus
 the utility methods the augmentations need."""
 
-from typing import List, Sequence, Tuple, Union
+from typing import Tuple
 
 import cv2
 import numpy as np

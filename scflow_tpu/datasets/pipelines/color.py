@@ -6,8 +6,6 @@ import glob
 import random
 import warnings
 from os import path as osp
-from typing import Sequence
-
 import cv2
 import numpy as np
 

@@ -5,7 +5,7 @@ stacked to NHWC float arrays (the TPU-native layout) instead of NCHW torch
 tensors; masks are packed to (n, H, W) uint8.  Collect splits annot/meta keys
 exactly like the reference (formatting.py:150-180)."""
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

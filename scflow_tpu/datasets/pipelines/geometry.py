@@ -8,8 +8,6 @@ image pixels to patch pixels.
 """
 
 import random
-from typing import Optional, Sequence
-
 import numpy as np
 
 from scflow_tpu.datasets.pipelines.imops import imcrop_pad, impad, imrescale, imresize

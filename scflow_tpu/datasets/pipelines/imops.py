@@ -1,7 +1,7 @@
 """Image helpers replacing the mmcv ops used by the reference pipelines
 (imcrop with padding, keep-ratio imrescale, impad)."""
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -5,7 +5,6 @@ GT per obj_id; RefineTestDataset runs without GT (BOP export only)."""
 import itertools
 import json
 from os import path as osp
-from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np

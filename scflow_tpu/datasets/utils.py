@@ -2,7 +2,7 @@
 tables (replacing terminaltables)."""
 
 import json
-from typing import Any, Dict, List
+from typing import Any, List
 
 import numpy as np
 

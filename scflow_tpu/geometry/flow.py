@@ -7,7 +7,7 @@ validity mask: identical values at foreground pixels, `invalid_num` elsewhere,
 no scatter, no host loop — XLA-friendly static shapes.
 """
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 

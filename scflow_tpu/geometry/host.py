@@ -3,8 +3,6 @@ kept on CPU deliberately: they run inside data workers / result formatting,
 exactly where the reference keeps them (datasets/pose.py:18-119)."""
 
 import warnings
-from typing import Optional, Tuple
-
 import cv2
 import numpy as np
 

@@ -8,7 +8,6 @@ RANSAC hypotheses and over the batch — no host sync inside eval.  The host
 cv2 path (geometry/host.py) remains available for exact reference parity.
 """
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -3,7 +3,7 @@
 All flows are NHWC (N, H, W, 2); masks (N, H, W).
 """
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ Vertex bank layout:
   diameters:    (C,)       mesh diameter normalizer
 """
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from scflow_tpu.ops.knn import nn_points

@@ -6,7 +6,7 @@
 kernels); the torch checkpoint converter transposes OIHW -> HWIO.
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

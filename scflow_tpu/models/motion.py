@@ -4,7 +4,7 @@ Reference: models/decoder/raft_decoder.py:61-294.  All convs are bias+ReLU
 (no norm), matching the shipped configs (conv_cfg/norm_cfg None, act ReLU).
 """
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

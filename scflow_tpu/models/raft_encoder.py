@@ -7,12 +7,12 @@ BasicBlocks keep the mmcv layout (conv3x3+bias -> norm -> relu -> conv3x3+bias
 reference models/backbone/resnet.py:14-95).
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from scflow_tpu.models.layers import ConvModule, InstanceNorm
+from scflow_tpu.models.layers import InstanceNorm
 from scflow_tpu.registry import ENCODERS
 
 

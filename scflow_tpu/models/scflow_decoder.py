@@ -15,7 +15,7 @@ test iters are separate jit specializations, replacing the reference's
 mutable `decoder.iters`, scflow_refiner.py:154-162).
 """
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ render/rasterizer.py pass 2).
 """
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -6,8 +6,6 @@ with XLA gathers: four clipped `take`s + weight masking, which XLA fuses into
 a single gather-heavy kernel on TPU.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,6 @@
 """Backward warping by optical flow (reference models/utils/warp.py:32-105)."""
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 

@@ -7,7 +7,7 @@ axis and parameters are replicated — XLA inserts the ICI collectives.
 Multi-host eval gathers use `process_allgather` (see runtime/eval).
 """
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -9,7 +9,7 @@ batch gathers its meshes with one `take` — no host loop, no ragged joins.
 """
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from glob import glob
 from typing import List, Optional, Sequence
 

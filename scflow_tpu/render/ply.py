@@ -6,8 +6,7 @@ binary_little_endian, vertex properties (x y z [nx ny nz] [red green blue
 [alpha]]) and triangular faces; quads are fan-triangulated.
 """
 
-import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scflow_tpu.render.meshbank import MeshBank
-from scflow_tpu.render.rasterizer import Fragments, rasterize
+from scflow_tpu.render.rasterizer import rasterize
 from scflow_tpu.render.shading import shade_phong
 
 

@@ -6,10 +6,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
-
-
 def _ocp():
     import orbax.checkpoint as ocp
 

@@ -1,6 +1,6 @@
 """Functional train state (params + optimizer state + BN stats + step)."""
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

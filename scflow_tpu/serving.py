@@ -18,8 +18,7 @@ Everything is one jit; scale-out is the standard data-parallel mesh (shard
 the patch batch, replicate params).
 """
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

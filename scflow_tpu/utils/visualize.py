@@ -2,7 +2,7 @@
 optical-flow color wheels for tensorboard panels (reference tools/visualize.py
 and mmcv.flow2rgb)."""
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import cv2
 import numpy as np
