@@ -113,22 +113,23 @@ class BaseDataset:
 
     # ---------------- loading ----------------
 
-    def _load_pose_annots(self):
-        pose_tmpl = "{:06d}/scene_gt.json"
-        info_tmpl = "{:06d}/scene_gt_info.json"
-        camera_tmpl = osp.join(self.gt_annots_root, "{:06d}/scene_camera.json")
-        sequences = sorted(
+    def _sequences(self):
+        return sorted(
             set(p.split(self.data_root)[1].split("/")[1] for p in self.img_files)
         )
+
+    def _load_pose_annots(self):
+        """Per-sequence array-backed annotation stores (native C++ parser when
+        built, identical pure-Python fallback — datasets/bop_store.py)."""
+        from scflow_tpu.datasets.bop_store import load_sequence
+
         out = {}
-        for seq in sequences:
-            with open(osp.join(self.gt_annots_root, pose_tmpl.format(int(seq)))) as f:
-                pose = json.load(f)
-            with open(camera_tmpl.format(int(seq))) as f:
-                camera = json.load(f)
-            with open(osp.join(self.gt_annots_root, info_tmpl.format(int(seq)))) as f:
-                gt_info = json.load(f)
-            out[seq] = dict(pose=pose, camera=camera, gt_info=gt_info)
+        for seq in self._sequences():
+            out[seq] = load_sequence(
+                osp.join(self.gt_annots_root, f"{int(seq):06d}/scene_gt.json"),
+                osp.join(self.gt_annots_root, f"{int(seq):06d}/scene_camera.json"),
+                osp.join(self.gt_annots_root, f"{int(seq):06d}/scene_gt_info.json"),
+            )
         return out
 
     def _load_mesh(self, mesh_path, ext=".ply"):
@@ -216,10 +217,8 @@ class BaseDataset:
             parts = image_path.rsplit("/", 3)
             seq_name, img_name = parts[-3], parts[-1]
             img_id = int(osp.splitext(img_name)[0])
-            seq_annots = self.gt_seq_pose_annots[seq_name]
-            gt_pose = seq_annots["pose"][str(img_id)]
-            camera = seq_annots["camera"][str(img_id)]
-            k = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+            objs = self.gt_seq_pose_annots[seq_name].objects(img_id)
+            k = objs["cam_K"].reshape(3, 3)
             pred = result["pred"]
             pred_labels = np.asarray(pred["labels"]).copy()
             pred_r = np.asarray(pred["rotations"])
@@ -227,10 +226,10 @@ class BaseDataset:
             for i, l in enumerate(pred_labels):
                 pred_labels[i] = self.inverse_label_mapping[int(l) + 1]
 
-            for ann in gt_pose:
-                obj_id = ann["obj_id"]
-                gt_rotation = np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3)
-                gt_translation = np.array(ann["cam_t_m2c"], np.float32).reshape(-1)
+            for oi in range(len(objs["obj_ids"])):
+                obj_id = int(objs["obj_ids"][oi])
+                gt_rotation = objs["rotations"][oi]
+                gt_translation = objs["translations"][oi]
                 gt_rs.append(gt_rotation)
                 gt_ts.append(gt_translation)
                 ks.append(k)

@@ -3,7 +3,6 @@ al.): reference datasets/refine.py.  RefineDataset matches reference poses to
 GT per obj_id; RefineTestDataset runs without GT (BOP export only)."""
 
 import itertools
-import json
 from os import path as osp
 from typing import Optional, Sequence
 
@@ -54,50 +53,39 @@ class RefineDataset(BaseDataset):
         self.ref_seq_pose_annots = self._load_ref_annots()
 
     def _load_ref_annots(self):
-        sequences = sorted(
-            set(p.split(self.data_root)[1].split("/")[1] for p in self.img_files)
-        )
+        from scflow_tpu.datasets.bop_store import load_sequence
+
         out = {}
-        for seq in sequences:
-            with open(
-                osp.join(self.ref_annots_root, "{:06d}/scene_gt.json".format(int(seq)))
-            ) as f:
-                pose = json.load(f)
-            out[seq] = dict(pose=pose)
+        for seq in self._sequences():
+            out[seq] = load_sequence(
+                osp.join(self.ref_annots_root, f"{int(seq):06d}/scene_gt.json")
+            )
         return out
 
     def getitem(self, index):
         img_path = self.img_files[index]
         _, seq_name, _, img_name = img_path.rsplit("/", 3)
         img_id = int(osp.splitext(img_name)[0])
-        gt_seq = self.gt_seq_pose_annots[seq_name]
-        ref_seq = self.ref_seq_pose_annots[seq_name]
-
-        def fetch(d, key):
-            return d[str(key)] if str(key) in d else d["{:06d}".format(key)]
-
-        gt_pose = fetch(gt_seq["pose"], img_id)
-        ref_pose = fetch(ref_seq["pose"], img_id)
-        camera = fetch(gt_seq["camera"], img_id)
-        gt_infos = fetch(gt_seq["gt_info"], img_id)
+        gt = self.gt_seq_pose_annots[seq_name].objects(img_id)
+        ref = self.ref_seq_pose_annots[seq_name].objects(img_id)
 
         gt_rotations, gt_translations, gt_labels, gt_bboxes, gt_mask_paths = (
             [], [], [], [], []
         )
-        for i, ann in enumerate(gt_pose):
-            obj_id = ann["obj_id"]
+        for i in range(len(gt["obj_ids"])):
+            obj_id = int(gt["obj_ids"][i])
             if self.target_label is not None and obj_id not in self.target_label:
                 continue
             if self.label_mapping is not None:
                 if obj_id not in self.label_mapping:
                     continue
                 obj_id = self.label_mapping[obj_id]
-            if gt_infos[i].get("px_count_visib", 1) == 0:
+            if gt["px_count_visib"][i] == 0:
                 continue
             gt_labels.append(obj_id)
-            gt_rotations.append(np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3))
-            gt_translations.append(np.array(ann["cam_t_m2c"], np.float32).reshape(-1))
-            bbox = np.array(gt_infos[i]["bbox_obj"], np.float32)
+            gt_rotations.append(gt["rotations"][i])
+            gt_translations.append(gt["translations"][i])
+            bbox = gt["bbox_obj"][i].copy()
             bbox[2:] = bbox[:2] + bbox[2:]
             gt_bboxes.append(bbox)
             gt_mask_paths.append(
@@ -115,15 +103,15 @@ class RefineDataset(BaseDataset):
 
         ref_rotations, ref_translations, ref_labels = [], [], []
         f_gt_r, f_gt_t, f_gt_bboxes, f_gt_masks = [], [], [], []
-        for ann in ref_pose:
-            obj_id = ann["obj_id"]
+        for i in range(len(ref["obj_ids"])):
+            obj_id = int(ref["obj_ids"][i])
             if self.target_label is not None and obj_id not in self.target_label:
                 continue
             if self.label_mapping is not None:
                 if obj_id not in self.label_mapping:
                     continue
                 obj_id = self.label_mapping[obj_id]
-            translation = np.array(ann["cam_t_m2c"], np.float32).reshape(-1)
+            translation = ref["translations"][i]
             if self.filter_invalid_pose and (
                 translation[-1] > self.depth_range[-1]
                 or translation[-1] < self.depth_range[0]
@@ -131,7 +119,7 @@ class RefineDataset(BaseDataset):
                 continue
             if obj_id not in gt_labels:
                 continue
-            ref_rotations.append(np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3))
+            ref_rotations.append(ref["rotations"][i])
             ref_translations.append(translation)
             ref_labels.append(obj_id)
             gi = int(np.nonzero(gt_labels == obj_id)[0][0])
@@ -147,7 +135,7 @@ class RefineDataset(BaseDataset):
         kp3d = self.keypoints_3d[ref_labels]
         f_gt_r, f_gt_t = np.stack(f_gt_r), np.stack(f_gt_t)
         f_gt_bboxes = np.stack(f_gt_bboxes)
-        k_orig = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+        k_orig = self.gt_seq_pose_annots[seq_name].objects(img_id)["cam_K"].reshape(3, 3)
         k = np.repeat(k_orig[None], len(ref_labels), axis=0)
 
         rd = dict(
@@ -226,46 +214,33 @@ class RefineTestDataset(BaseDataset):
         self.ref_seq_pose_annots = self._load_ref_annots()
 
     def _load_ref_annots(self):
-        sequences = sorted(
-            set(p.split(self.data_root)[1].split("/")[1] for p in self.img_files)
-        )
+        from scflow_tpu.datasets.bop_store import load_sequence
+
         out = {}
-        for seq in sequences:
-            with open(
-                osp.join(self.ref_annots_root, "{:06d}/scene_gt.json".format(int(seq)))
-            ) as f:
-                pose = json.load(f)
-            cam_path = osp.join(
-                self.data_root, "{:06d}/scene_camera.json".format(int(seq))
+        for seq in self._sequences():
+            out[seq] = load_sequence(
+                osp.join(self.ref_annots_root, f"{int(seq):06d}/scene_gt.json"),
+                osp.join(self.data_root, f"{int(seq):06d}/scene_camera.json"),
             )
-            with open(cam_path) as f:
-                camera = json.load(f)
-            out[seq] = dict(pose=pose, camera=camera)
         return out
 
     def getitem(self, index):
         img_path = self.img_files[index]
         _, seq_name, _, img_name = img_path.rsplit("/", 3)
         img_id = int(osp.splitext(img_name)[0])
-        ref_seq = self.ref_seq_pose_annots[seq_name]
-
-        def fetch(d, key):
-            return d[str(key)] if str(key) in d else d["{:06d}".format(key)]
-
-        ref_pose = fetch(ref_seq["pose"], img_id)
-        camera = fetch(ref_seq["camera"], img_id)
+        ref = self.ref_seq_pose_annots[seq_name].objects(img_id)
 
         ref_rotations, ref_translations, ref_labels = [], [], []
-        for ann in ref_pose:
-            obj_id = ann["obj_id"]
+        for i in range(len(ref["obj_ids"])):
+            obj_id = int(ref["obj_ids"][i])
             if self.target_label is not None and obj_id not in self.target_label:
                 continue
             if self.label_mapping is not None:
                 if obj_id not in self.label_mapping:
                     continue
                 obj_id = self.label_mapping[obj_id]
-            ref_rotations.append(np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3))
-            ref_translations.append(np.array(ann["cam_t_m2c"], np.float32).reshape(-1))
+            ref_rotations.append(ref["rotations"][i])
+            ref_translations.append(ref["translations"][i])
             ref_labels.append(obj_id)
         if not ref_rotations:
             return None
@@ -273,7 +248,7 @@ class RefineTestDataset(BaseDataset):
         ref_translations = np.stack(ref_translations)
         ref_labels = np.asarray(ref_labels, np.int64) - 1
         kp3d = self.keypoints_3d[ref_labels]
-        k_orig = np.array(camera["cam_K"], np.float32).reshape(3, 3)
+        k_orig = ref["cam_K"].reshape(3, 3)
         k = np.repeat(k_orig[None], len(ref_labels), axis=0)
 
         rd = dict(

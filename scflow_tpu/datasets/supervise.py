@@ -53,70 +53,59 @@ class SuperviseTrainDataset(BaseDataset):
         self.total_sample_num = self._sample_census()
 
     def _sample_census(self):
-        """Per-class valid/total sample table (supervise_refine.py:57-86)."""
-        counts = {
-            name: {"total_sample_num": 0, "valid_sample_num": 0}
-            for name in self.class_names
-        }
-        for seq, annots in self.gt_seq_pose_annots.items():
-            for img_key, infos in annots["gt_info"].items():
-                poses = annots["pose"][img_key]
-                for info, pose in zip(infos, poses):
-                    ori = pose["obj_id"]
-                    counts[self.class_names[ori - 1]]["total_sample_num"] += 1
-                    label = ori
-                    if self.label_mapping is not None:
-                        if ori not in self.label_mapping:
-                            continue
-                        label = self.label_mapping[ori]
-                    if self.target_label is not None and label not in self.target_label:
-                        continue
-                    if info["visib_fract"] < self.min_visib_fract:
-                        continue
-                    counts[self.class_names[ori - 1]]["valid_sample_num"] += 1
+        """Per-class valid/total sample table (supervise_refine.py:57-86) —
+        vectorized over the array-backed annotation store."""
+        ncls = len(self.class_names)
+        total = np.zeros(ncls, np.int64)
+        valid = np.zeros(ncls, np.int64)
+        for seq, store in self.gt_seq_pose_annots.items():
+            ids = store.obj_ids.astype(np.int64)
+            np.add.at(total, ids - 1, 1)
+            ok = store.info["visib_fract"] >= self.min_visib_fract
+            if self.label_mapping is not None:
+                mapped = np.isin(ids, list(self.label_mapping))
+                ok = ok & mapped
+            if self.target_label is not None:
+                tl = [
+                    self.label_mapping.get(i, i) if self.label_mapping else i
+                    for i in ids
+                ]
+                ok = ok & np.isin(tl, self.target_label)
+            np.add.at(valid, ids[ok] - 1, 1)
         rows = [["class"] + list(self.class_names) + ["total"]]
-        for key in ("total_sample_num", "valid_sample_num"):
-            vals = [counts[n][key] for n in self.class_names]
-            rows.append([key] + vals + [sum(vals)])
+        rows.append(["total_sample_num"] + total.tolist() + [int(total.sum())])
+        rows.append(["valid_sample_num"] + valid.tolist() + [int(valid.sum())])
         return ascii_table(rows)
 
     def getitem(self, index):
         img_path = self.img_files[index]
         _, seq_name, _, img_name = img_path.rsplit("/", 3)
         img_id = int(osp.splitext(img_name)[0])
-        seq = self.gt_seq_pose_annots[seq_name]
-
-        def fetch(d, key):
-            return d[str(key)] if str(key) in d else d["{:06d}".format(key)]
-
-        gt_pose = fetch(seq["pose"], img_id)
-        camera = fetch(seq["camera"], img_id)
-        gt_infos = fetch(seq["gt_info"], img_id)
+        objs = self.gt_seq_pose_annots[seq_name].objects(img_id)
 
         rotations, translations, labels, bboxes, mask_paths = [], [], [], [], []
-        for i, ann in enumerate(gt_pose):
-            obj_id = ann["obj_id"]
+        for i in range(len(objs["obj_ids"])):
+            obj_id = int(objs["obj_ids"][i])
             if self.target_label is not None and obj_id not in self.target_label:
                 continue
             if self.label_mapping is not None:
                 if obj_id not in self.label_mapping:
                     continue
                 obj_id = self.label_mapping[obj_id]
-            if gt_infos[i]["visib_fract"] < self.min_visib_fract:
+            if objs["visib_fract"][i] < self.min_visib_fract:
                 continue
-            if gt_infos[i].get("px_count_visib", 1) < self.min_visib_px_num:
+            if objs["px_count_visib"][i] < self.min_visib_px_num:
                 continue
-            rotations.append(np.array(ann["cam_R_m2c"], np.float32).reshape(3, 3))
-            translations.append(np.array(ann["cam_t_m2c"], np.float32).reshape(-1))
+            rotations.append(objs["rotations"][i])
+            translations.append(objs["translations"][i])
             labels.append(obj_id)
-            bbox = np.array(gt_infos[i]["bbox_obj"], np.float32)
+            bbox = objs["bbox_obj"][i].copy()
             bbox[2:] = bbox[:2] + bbox[2:]
             bboxes.append(bbox)
-            mask_id = gt_infos[i].get("mask_id", i)
             mask_paths.append(
                 osp.join(
                     self.data_root,
-                    self.mask_path_tmpl.format(int(seq_name), img_id, mask_id),
+                    self.mask_path_tmpl.format(int(seq_name), img_id, i),
                 )
             )
         if not labels:
@@ -136,8 +125,7 @@ class SuperviseTrainDataset(BaseDataset):
         kp3d = self.keypoints_3d[labels]
         mask_paths = [mask_paths[c] for c in choice]
 
-        k = np.array(camera["cam_K"], np.float32).reshape(3, 3)
-        k = np.repeat(k[None], sample_num, axis=0)
+        k = np.repeat(objs["cam_K"].reshape(1, 3, 3), sample_num, axis=0)
 
         rd = dict(
             pose_fields=[

@@ -208,15 +208,9 @@ class TestEvaluation:
     def _results(self, train_dataset, noise=0.0):
         results = []
         for img_id in range(3):
-            seq = train_dataset.gt_seq_pose_annots["000001"]
-            anns = seq["pose"][str(img_id)]
-            rot = np.stack(
-                [np.array(a["cam_R_m2c"], np.float32).reshape(3, 3) for a in anns]
-            )
-            tr = np.stack(
-                [np.array(a["cam_t_m2c"], np.float32).reshape(-1) for a in anns]
-            )
-            tr = tr + noise
+            objs = train_dataset.gt_seq_pose_annots["000001"].objects(img_id)
+            rot = objs["rotations"]
+            tr = objs["translations"] + noise
             results.append(
                 dict(
                     pred=dict(
