@@ -9,13 +9,19 @@ dense pose-induced flow for the next iteration.
 TPU-first re-design (SURVEY.md §7.1): object-frame points are lifted ONCE
 densely (every pixel, masked) instead of ragged per-image lists; the
 pose-induced flow is a dense reproject + where-select (no scatter, no host
-loop).  The loop is a statically-unrolled recurrence inside one jit scope so
-XLA fuses across iterations; iteration count is a static argument (train and
-test iters are separate jit specializations, replacing the reference's
-mutable `decoder.iters`, scflow_refiner.py:154-162).
+loop).  Iteration count is static (train and test iters are separate jit
+specializations, replacing the reference's mutable `decoder.iters`,
+scflow_refiner.py:154-162).
+
+Two loop modes over the SAME parameter tree (`decoder/update/...`):
+- unroll=True (default): statically-unrolled python loop — XLA fuses across
+  iterations; best runtime.
+- unroll=False: `nn.scan`/lax.scan over iterations — the body compiles once
+  (~iters-times faster compiles; useful for test-iteration sweeps and
+  memory-constrained training with remat).
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +41,115 @@ _H_CHANNELS = {"Basic": 128, "Small": 96}
 _CXT_CHANNELS = {"Basic": 128, "Small": 64}
 
 
+class _SCFlowUpdate(nn.Module):
+    """One recurrent update step (the body shared by both loop modes)."""
+
+    net_type: str = "Basic"
+    num_levels: int = 4
+    radius: int = 4
+    detach_flow: bool = True
+    detach_mask: bool = True
+    detach_pose: bool = True
+    detach_depth_for_xy: bool = False
+    mask_flow: bool = False
+    mask_corr: bool = False
+    depth_transform: str = "exp"
+    gru_type: str = "SeqConv"
+    feat_channels: int = 256
+    invalid_flow_num: float = 0.0
+    pose_head_cfg: Optional[dict] = None
+    dtype: Any = None
+
+    def _build_pose_head(self):
+        cfg = dict(self.pose_head_cfg or {"type": "MultiClassPoseHead"})
+        head_type = cfg.pop("type")
+        kw = {}
+        for k in ("num_class", "in_channels", "rotation_mode"):
+            if k in cfg:
+                kw[k] = cfg[k]
+        if head_type == "MultiClassPoseHead":
+            return MultiClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
+        elif head_type == "SingleClassPoseHead":
+            kw.pop("num_class", None)
+            return SingleClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
+        raise KeyError(head_type)
+
+    @nn.compact
+    def __call__(self, carry, pyramid, cxt_feat, points_obj, points_valid,
+                 internal_k, label):
+        flow, mask, h_feat, R, t = carry
+        scale = 2 ** (self.num_levels - 1)
+        h_ch = _H_CHANNELS[self.net_type]
+
+        motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
+                                   name="encoder")
+        gru = ConvGRU(h_ch, net_type=self.gru_type, dtype=self.dtype, name="gru")
+        flow_head = XHead((self.feat_channels,), 2, kind="flow",
+                          dtype=self.dtype, name="flow_pred")
+        mask_head = XHead((self.feat_channels,), 1, kind="mask",
+                          dtype=self.dtype, name="mask_pred")
+        pose_head = self._build_pose_head()
+        dfe0 = ConvModule(128, 7, padding=3, act="relu", dtype=self.dtype,
+                          name="delta_flow_enc0")
+        dfe1 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
+                          name="delta_flow_enc1")
+        me0 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
+                         name="mask_enc0")
+        me1 = ConvModule(32, 3, padding=1, act="relu", dtype=self.dtype,
+                         name="mask_enc1")
+
+        if self.detach_flow:
+            flow = jax.lax.stop_gradient(flow)
+        if self.detach_mask:
+            mask = jax.lax.stop_gradient(mask)
+        flow_small = (1.0 / scale) * interpolate_bilinear(flow, 1.0 / scale)
+        corr = corr_lookup(list(pyramid), flow_small, self.radius)
+        if self.mask_corr:
+            corr = corr * mask
+        motion_feat = motion_enc(
+            corr, flow_small * mask if self.mask_flow else flow_small
+        )
+        x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
+        h_feat = gru(h_feat, x)
+
+        delta_flow = flow_head(h_feat)
+        mask = nn.sigmoid(mask_head(h_feat))
+
+        dff = dfe1(dfe0(delta_flow))
+        mf = me1(me0(mask))
+        d_rot, d_trans = pose_head(
+            jnp.concatenate([h_feat, dff, mf], axis=-1), label
+        )
+        d_rot = d_rot.astype(jnp.float32)
+        d_trans = d_trans.astype(jnp.float32)
+
+        flow_pred = scale * interpolate_bilinear(
+            (flow_small + delta_flow).astype(jnp.float32), scale
+        )
+        mask_up = interpolate_bilinear(mask, scale)
+
+        R_prev = jax.lax.stop_gradient(R) if self.detach_pose else R
+        t_prev = jax.lax.stop_gradient(t) if self.detach_pose else t
+        R, t = apply_delta_pose(
+            d_rot, d_trans, R_prev, t_prev,
+            depth_transform=self.depth_transform,
+            detach_depth_for_xy=self.detach_depth_for_xy,
+        )
+
+        flow = flow_from_object_points(
+            points_obj, points_valid, R, t, internal_k, self.invalid_flow_num
+        )
+        new_carry = (flow, mask, h_feat, R, t)
+        ys = (flow, flow_pred, R, t, mask_up[..., 0], d_rot, d_trans)
+        return new_carry, ys
+
+
+_SEQ_KEYS = (
+    "flow_from_pose", "flow_from_pred", "rotations", "translations",
+    "masks", "delta_rotations", "delta_translations",
+)
+
+
 @DECODERS.register_module("SCFlowDecoder")
 class SCFlowDecoder(nn.Module):
     net_type: str = "Basic"
@@ -52,6 +167,7 @@ class SCFlowDecoder(nn.Module):
     feat_channels: int = 256
     pose_head_cfg: Optional[dict] = None
     dtype: Any = None
+    unroll: bool = True
 
     @property
     def h_channels(self):
@@ -61,20 +177,24 @@ class SCFlowDecoder(nn.Module):
     def cxt_channels(self):
         return _CXT_CHANNELS[self.net_type]
 
-    def _build_pose_head(self):
-        cfg = dict(self.pose_head_cfg or {"type": "MultiClassPoseHead"})
-        head_type = cfg.pop("type")
-        # flax modules take a reduced set of construction args
-        kw = {}
-        for k in ("num_class", "in_channels", "rotation_mode"):
-            if k in cfg:
-                kw[k] = cfg[k]
-        if head_type == "MultiClassPoseHead":
-            return MultiClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
-        elif head_type == "SingleClassPoseHead":
-            kw.pop("num_class", None)
-            return SingleClassPoseHead(name="pose_pred", dtype=self.dtype, **kw)
-        raise KeyError(head_type)
+    def _update_cfg(self, invalid_flow_num: float) -> dict:
+        return dict(
+            net_type=self.net_type,
+            num_levels=self.num_levels,
+            radius=self.radius,
+            detach_flow=self.detach_flow,
+            detach_mask=self.detach_mask,
+            detach_pose=self.detach_pose,
+            detach_depth_for_xy=self.detach_depth_for_xy,
+            mask_flow=self.mask_flow,
+            mask_corr=self.mask_corr,
+            depth_transform=self.depth_transform,
+            gru_type=self.gru_type,
+            feat_channels=self.feat_channels,
+            invalid_flow_num=invalid_flow_num,
+            pose_head_cfg=self.pose_head_cfg,
+            dtype=self.dtype,
+        )
 
     @nn.compact
     def __call__(
@@ -97,30 +217,10 @@ class SCFlowDecoder(nn.Module):
         scale = 2 ** (self.num_levels - 1)
         n, img_h, img_w = depth.shape
 
-        pyramid = correlation_pyramid(
-            feat_render, feat_real, self.num_levels, out_dtype=self.dtype
+        pyramid = tuple(
+            correlation_pyramid(feat_render, feat_real, self.num_levels,
+                                out_dtype=self.dtype)
         )
-
-        motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
-                                   name="encoder")
-        gru = ConvGRU(self.h_channels, net_type=self.gru_type, dtype=self.dtype,
-                      name="gru")
-        flow_head = XHead((self.feat_channels,), 2, kind="flow",
-                          dtype=self.dtype, name="flow_pred")
-        mask_head = XHead((self.feat_channels,), 1, kind="mask",
-                          dtype=self.dtype, name="mask_pred")
-        pose_head = self._build_pose_head()
-
-        dfe0 = ConvModule(128, 7, padding=3, act="relu", dtype=self.dtype,
-                          name="delta_flow_enc0")
-        dfe1 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
-                          name="delta_flow_enc1")
-        me0 = ConvModule(64, 3, padding=1, act="relu", dtype=self.dtype,
-                         name="mask_enc0")
-        me1 = ConvModule(32, 3, padding=1, act="relu", dtype=self.dtype,
-                         name="mask_enc1")
-        delta_flow_encoder = lambda x: dfe1(dfe0(x))
-        mask_encoder = lambda x: me1(me0(x))
 
         # dense lift of the rendered depth under the reference pose (once)
         points_obj, points_valid = lift_depth_to_object_points(
@@ -128,70 +228,43 @@ class SCFlowDecoder(nn.Module):
         )
 
         if init_flow is None:
-            init_flow = jnp.zeros((n, img_h, img_w, 2), feat_render.dtype)
+            init_flow = jnp.zeros((n, img_h, img_w, 2), jnp.float32)
+        carry = (
+            init_flow,
+            jnp.ones((n, img_h // scale, img_w // scale, 1), feat_render.dtype),
+            h_feat,
+            ref_rotation,
+            ref_translation,
+        )
+        cfg = self._update_cfg(invalid_flow_num)
 
-        flow = init_flow  # full resolution pose-induced flow
-        mask = jnp.ones((n, img_h // scale, img_w // scale, 1), feat_render.dtype)
-        R, t = ref_rotation, ref_translation
-
-        seqs: Dict[str, list] = {
-            "flow_from_pose": [],
-            "flow_from_pred": [],
-            "rotations": [],
-            "translations": [],
-            "masks": [],
-            "delta_rotations": [],
-            "delta_translations": [],
-        }
-
-        for it in range(iters):
-            if self.detach_flow:
-                flow = jax.lax.stop_gradient(flow)
-            if self.detach_mask:
-                mask = jax.lax.stop_gradient(mask)
-            flow_small = (1.0 / scale) * interpolate_bilinear(flow, 1.0 / scale)
-            corr = corr_lookup(pyramid, flow_small, self.radius)
-            if self.mask_corr:
-                corr = corr * mask
-            motion_feat = motion_enc(corr, flow_small * mask if self.mask_flow else flow_small)
-            x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
-            h_feat = gru(h_feat, x)
-
-            delta_flow = flow_head(h_feat)
-            mask = nn.sigmoid(mask_head(h_feat))
-
-            dff = delta_flow_encoder(delta_flow)
-            mf = mask_encoder(mask)
-            d_rot, d_trans = pose_head(
-                jnp.concatenate([h_feat, dff, mf], axis=-1), label
+        if self.unroll:
+            update = _SCFlowUpdate(name="update", **cfg)
+            collected = []
+            for it in range(iters):
+                carry, ys = update(
+                    carry, pyramid, cxt_feat, points_obj, points_valid,
+                    internal_k, label,
+                )
+                if output_sequences or it == iters - 1:
+                    collected.append(ys)
+            stacked = tuple(
+                jnp.stack([c[i] for c in collected], axis=0)
+                for i in range(len(_SEQ_KEYS))
             )
-            d_rot = d_rot.astype(jnp.float32)
-            d_trans = d_trans.astype(jnp.float32)
-
-            flow_pred = scale * interpolate_bilinear(
-                (flow_small + delta_flow).astype(jnp.float32), scale
+        else:
+            scan_cls = nn.scan(
+                _SCFlowUpdate,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast,) * 6,
+                length=iters,
             )
-            mask_up = interpolate_bilinear(mask, scale)
-
-            R_prev = jax.lax.stop_gradient(R) if self.detach_pose else R
-            t_prev = jax.lax.stop_gradient(t) if self.detach_pose else t
-            R, t = apply_delta_pose(
-                d_rot, d_trans, R_prev, t_prev,
-                depth_transform=self.depth_transform,
-                detach_depth_for_xy=self.detach_depth_for_xy,
+            carry, stacked = scan_cls(name="update", **cfg)(
+                carry, pyramid, cxt_feat, points_obj, points_valid,
+                internal_k, label,
             )
+            if not output_sequences:
+                stacked = tuple(y[-1:] for y in stacked)
 
-            flow = flow_from_object_points(
-                points_obj, points_valid, R, t, internal_k, invalid_flow_num
-            )
-
-            if output_sequences or it == iters - 1:
-                seqs["flow_from_pose"].append(flow)
-                seqs["flow_from_pred"].append(flow_pred)
-                seqs["rotations"].append(R)
-                seqs["translations"].append(t)
-                seqs["masks"].append(mask_up[..., 0])
-                seqs["delta_rotations"].append(d_rot)
-                seqs["delta_translations"].append(d_trans)
-
-        return {k: jnp.stack(v, axis=0) for k, v in seqs.items()}
+        return dict(zip(_SEQ_KEYS, stacked))

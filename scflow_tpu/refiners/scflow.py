@@ -39,6 +39,7 @@ class SCFlowRefiner(nn.Module):
     pose_head_cfg: Optional[dict] = None
     max_flow: float = 400.0
     dtype: Any = None
+    unroll: bool = True
 
     def setup(self):
         self.render_encoder = RAFTEncoder(
@@ -80,6 +81,7 @@ class SCFlowRefiner(nn.Module):
             gru_type=self.gru_type,
             pose_head_cfg=self.pose_head_cfg,
             dtype=self.dtype,
+            unroll=self.unroll,
             name="decoder",
         )
 

@@ -78,8 +78,8 @@ def _flax_path_to_torch_key(path: Tuple[str, ...], leaf_name: str) -> Optional[s
             out.append(f"layers.{p[len('layer'):]}")
         elif p == "predict":
             out.append("predict_layer")
-        elif p == "trunk":
-            pass  # flattened in torch naming
+        elif p in ("trunk", "update"):
+            pass  # structural levels absent from torch naming
         elif re.fullmatch(r"conv(\d+)", p) and "pose_pred" in parts[:i]:
             out.append(f"conv_layers.{p[len('conv'):]}")
         elif re.fullmatch(r"fc(\d+)", p):

@@ -167,10 +167,10 @@ class TestSCFlowRefiner:
         grads = jax.grad(loss_fn)(v["params"])
         # the final linears are zero-init, so at init the gradient signal
         # lands on them (not yet on the trunk convs behind the zero kernels)
-        g = grads["decoder"]["pose_pred"]["translation_pred"]["kernel"]
+        g = grads["decoder"]["update"]["pose_pred"]["translation_pred"]["kernel"]
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
-        g_flow = grads["decoder"]["flow_pred"]["layer0"]["conv"]["kernel"]
+        g_flow = grads["decoder"]["update"]["flow_pred"]["layer0"]["conv"]["kernel"]
         assert np.abs(np.asarray(g_flow)).max() > 0
 
 
@@ -232,3 +232,49 @@ class TestBF16:
         np.testing.assert_allclose(t16, t32, rtol=0.1, atol=2.0)
         R_err = np.abs(np.asarray(out16["rotations"][-1]) - np.asarray(out32["rotations"][-1]))
         assert R_err.max() < 0.05
+
+
+class TestScanDecoder:
+    def test_scan_matches_unroll(self, key):
+        """unroll=False (nn.scan) shares the exact parameter tree with the
+        unrolled loop and produces identical outputs and matching grads."""
+        n, H, W = 2, 64, 64
+        depth, K, R, t, label = scene_inputs(n, H, W)
+        imgs = jax.random.normal(key, (n, H, W, 3)) * 0.1
+        kw = dict(
+            iters=3,
+            pose_head_cfg=dict(type="MultiClassPoseHead", num_class=3, in_channels=224),
+        )
+        m_un = SCFlowRefiner(unroll=True, **kw)
+        m_sc = SCFlowRefiner(unroll=False, **kw)
+        v = m_un.init(key, imgs, imgs, R, t, depth, K, label)
+        v2 = m_sc.init(key, imgs, imgs, R, t, depth, K, label)
+        paths1 = {
+            jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_flatten_with_path(v["params"])[0]
+        }
+        paths2 = {
+            jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_flatten_with_path(v2["params"])[0]
+        }
+        assert paths1 == paths2
+        o1 = m_un.apply(v, imgs, imgs, R, t, depth, K, label)
+        o2 = m_sc.apply(v, imgs, imgs, R, t, depth, K, label)
+        for k in o1:
+            np.testing.assert_allclose(
+                np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-5, err_msg=k
+            )
+
+        def loss(m, params):
+            out = m.apply({**v, "params": params}, imgs, imgs, R, t, depth, K, label)
+            return jnp.sum(out["translations"] ** 2) + jnp.sum(out["flow_from_pred"] ** 2)
+
+        g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m_un, p))(v["params"]))
+        g2 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m_sc, p))(v["params"]))
+        # note: conv biases feeding InstanceNorm have analytically-zero
+        # gradients; their values are fp32 cancellation noise that differs
+        # with accumulation order, so compare against the global scale
+        gnorm = np.sqrt(sum(float((np.asarray(a) ** 2).sum()) for a in g1))
+        for a, b in zip(g1, g2):
+            d = np.linalg.norm(np.asarray(a) - np.asarray(b))
+            assert d < 1e-4 * gnorm + 1e-3, d
