@@ -48,6 +48,7 @@ def build_refiner_from_config(model_cfg: Dict[str, Any]):
             mask_corr=dec.get("mask_corr", False),
             depth_transform=dec.get("depth_transform", "exp"),
             pose_head_cfg=dict(dec.get("pose_head_cfg", {"type": "MultiClassPoseHead"})),
+            unroll=dec.get("unroll", cfg.get("unroll", True)),
             **common,
         )
     if mtype == "RAFTRefinerFlow":

@@ -116,6 +116,7 @@ class SCFlowRefiner(nn.Module):
         iters: Optional[int] = None,
         train: bool = False,
         output_sequences: bool = True,
+        unroll: Optional[bool] = None,
     ) -> Dict[str, jnp.ndarray]:
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
             render_images, real_images, train
@@ -134,4 +135,5 @@ class SCFlowRefiner(nn.Module):
             invalid_flow_num=0.0,
             iters=iters,
             output_sequences=output_sequences,
+            unroll=unroll,
         )

@@ -373,10 +373,15 @@ def make_scflow_infer_fn(
     iters: Optional[int] = None,
     render_chunk: int = 64,
     render_backend: str = "xla",
+    unroll: bool = False,
 ):
     """Returns jitted infer(variables, batch) -> dict with final rotations /
     translations (patch-intrinsics frame; host code remaps to the original
-    image, pose.py:264-309) plus the full prediction sequences."""
+    image, pose.py:264-309) plus the full prediction sequences.
+
+    unroll=False (default) runs the decoder recurrence as lax.scan — measured
+    faster end to end for inference than the unrolled loop (54.5 vs 61.2 ms
+    at batch 16/256²/8 iters on v5e) and much faster to compile."""
 
     @partial(jax.jit, static_argnames=())
     def infer(variables, batch):
@@ -404,6 +409,7 @@ def make_scflow_infer_fn(
             iters=iters,
             train=False,
             output_sequences=False,
+            unroll=unroll,
         )
         return {
             "rotations": out["rotations"][-1],
@@ -484,6 +490,7 @@ def make_scflow_cycled_infer_fn(
     iters: Optional[int] = None,
     render_chunk: int = 64,
     render_backend: str = "xla",
+    unroll: bool = False,
 ):
     """Multi-pass refinement (reference forward_multiple_pass,
     base_refiner.py:249-260): after each cycle the object is re-rendered at
@@ -503,7 +510,7 @@ def make_scflow_cycled_infer_fn(
             out = model.apply(
                 variables, rendered_images, batch["real_images"], R, t,
                 rendered_depths, batch["k"], batch["labels"], iters=iters,
-                train=False,
+                train=False, unroll=unroll,
             )
             R = out["rotations"][-1]
             t = out["translations"][-1]

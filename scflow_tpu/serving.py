@@ -142,7 +142,7 @@ def make_serving_fn(
         out = model.apply(
             variables, rendered_images, real_images, ref_rotations,
             ref_translations, rendered_depths, newK, labels, iters=iters,
-            train=False,
+            train=False, output_sequences=False, unroll=False,
         )
         # adapt_intrinsic: poses live in the original camera frame already
         return {
