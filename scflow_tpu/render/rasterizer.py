@@ -123,10 +123,11 @@ def rasterize(
     if backend == "pallas":
         from scflow_tpu.ops.pallas.rasterize import (
             pack_faces_and_bin,
+            pick_face_chunk,
             rasterize_packed_pallas,
         )
 
-        fcsz = 128  # multiple of the 128-lane alignment Mosaic requires
+        fcsz = pick_face_chunk(f)
         th = 8 if h % 8 == 0 else h
         tw = 128 if w % 128 == 0 else w
         rows, active, perm = jax.lax.optimization_barrier(

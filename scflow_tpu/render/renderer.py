@@ -36,6 +36,7 @@ def _render_pallas(
 
     from scflow_tpu.ops.pallas.rasterize import (
         pack_shaded_and_bin,
+        pick_face_chunk,
         rasterize_shaded_pallas,
     )
     from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
@@ -54,12 +55,13 @@ def _render_pallas(
     )  # (N, F, 3, 6)
     th = 8 if h % 8 == 0 else h
     tw = 128 if w % 128 == 0 else w
+    fc = pick_face_chunk(faces.shape[1])
     rows, active, perm = pack_shaded_and_bin(
-        tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, 128
+        tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
     )
     id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
     maps = rasterize_shaded_pallas(
-        rows, active, h, w, th=th, tw=tw, fc=128, id_bits=id_bits
+        rows, active, h, w, th=th, tw=tw, fc=fc, id_bits=id_bits
     )  # (N, 16, H, W)
     depths = maps[:, 0]
     fg = maps[:, 1] > 0.5
