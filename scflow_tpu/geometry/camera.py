@@ -66,3 +66,28 @@ def lift_depth_to_object_points(
     points_obj = jnp.einsum("nji,nhwj->nhwi", R, points_cam - t[:, None, None, :])
     valid = depth > 0
     return points_obj, valid
+
+
+def lift_depth_to_object_points_at(
+    depth: jnp.ndarray,
+    K: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    pix: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`lift_depth_to_object_points` at an explicit (sub-)grid of pixels.
+
+    depth: (N, h', w') sampled at pixel coordinates pix (h', w', 2) in
+    (x, y) order.  Same arithmetic as the dense variant — used to lift only
+    the pixels a later bilinear downsample will read (scflow_decoder.py's
+    in-loop low-res pose flow)."""
+    hp, wp, _ = pix.shape
+    homo = jnp.concatenate(
+        [pix, jnp.ones((hp, wp, 1), depth.dtype)], axis=-1
+    )
+    K_inv = jnp.linalg.inv(K)
+    rays = jnp.einsum("nij,hwj->nhwi", K_inv, homo)
+    points_cam = rays * depth[..., None]
+    points_obj = jnp.einsum("nji,nhwj->nhwi", R, points_cam - t[:, None, None, :])
+    valid = depth > 0
+    return points_obj, valid

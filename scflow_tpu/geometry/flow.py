@@ -42,6 +42,26 @@ def flow_from_object_points(
     return jnp.where(valid[..., None], flow, jnp.asarray(invalid_num, points_obj.dtype))
 
 
+def flow_from_object_points_at(
+    points_obj: jnp.ndarray,
+    valid: jnp.ndarray,
+    R_dst: jnp.ndarray,
+    t_dst: jnp.ndarray,
+    K: jnp.ndarray,
+    pix: jnp.ndarray,
+    invalid_num: float = 400.0,
+) -> jnp.ndarray:
+    """`flow_from_object_points` for points lifted at an explicit pixel
+    (sub-)grid pix (h', w', 2).  Identical arithmetic, with pix standing in
+    for the dense coords grid."""
+    pts_cam = jnp.einsum("nij,nhwj->nhwi", R_dst, points_obj) + t_dst[:, None, None, :]
+    uvw = jnp.einsum("nij,nhwj->nhwi", K, pts_cam)
+    z = jnp.where(valid[..., None], uvw[..., 2:3], 1.0)
+    xy_dst = uvw[..., :2] / z
+    flow = xy_dst - pix[None]
+    return jnp.where(valid[..., None], flow, jnp.asarray(invalid_num, points_obj.dtype))
+
+
 def flow_from_pose_and_depth(
     R_src: jnp.ndarray,
     t_src: jnp.ndarray,

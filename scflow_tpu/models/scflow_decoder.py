@@ -13,6 +13,17 @@ loop).  Iteration count is static (train and test iters are separate jit
 specializations, replacing the reference's mutable `decoder.iters`,
 scflow_refiner.py:154-162).
 
+The recurrence itself runs entirely at 1/8 resolution: the reference
+computes the pose-induced flow densely at H x W and bilinearly downsamples
+it for the next lookup (scflow_decoder.py:196-227); since that downsample
+reads at most 2x2 full-res pixels per low-res cell (separable 2-tap
+interpolation), the loop reprojects ONLY those tap pixels and applies the
+same tap weights in the same h-then-w order — value-identical to
+downsampling the dense flow, at 1/16 of the reprojection and none of the
+full-res HBM traffic.  Full-resolution flow/mask sequences are
+reconstructed from the per-iteration poses AFTER the loop (and only for
+the iterations actually requested — one, for inference).
+
 Two loop modes over the SAME parameter tree (`decoder/update/...`),
 selectable per call (measured v5e, batch 16, 256², 8 iters):
 - unroll=True: statically-unrolled python loop — best TRAIN step (182 vs
@@ -25,16 +36,17 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from scflow_tpu.geometry.camera import lift_depth_to_object_points
-from scflow_tpu.geometry.flow import flow_from_object_points
+from scflow_tpu.geometry.camera import coords_grid, lift_depth_to_object_points
+from scflow_tpu.geometry.flow import flow_from_object_points_at
 from scflow_tpu.geometry.se3 import apply_delta_pose
 from scflow_tpu.models.layers import ConvModule
 from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
 from scflow_tpu.models.pose_head import MultiClassPoseHead, SingleClassPoseHead
 from scflow_tpu.ops.corr import corr_lookup, correlation_pyramid
-from scflow_tpu.ops.resize import interpolate_bilinear
+from scflow_tpu.ops.resize import interp_taps, interpolate_bilinear
 from scflow_tpu.registry import DECODERS
 
 _H_CHANNELS = {"Basic": 128, "Small": 96}
@@ -75,9 +87,12 @@ class _SCFlowUpdate(nn.Module):
         raise KeyError(head_type)
 
     @nn.compact
-    def __call__(self, carry, pyramid, cxt_feat, points_obj, points_valid,
-                 internal_k, label):
-        flow, mask, h_feat, R, t = carry
+    def __call__(self, carry, pyramid, cxt_feat, lowres, internal_k, label):
+        """carry = (flow_small (N, h, w, 2) — the ALREADY downsampled+scaled
+        pose flow — mask, h_feat, R, t).  lowres bundles the static
+        tap-pixel geometry: (sub_points (N, 2h, 2w, 3), sub_valid, pix_sub
+        (2h, 2w, 2), wy_lo, wy_hi (h,), wx_lo, wx_hi (w,))."""
+        flow_small, mask, h_feat, R, t = carry
         scale = 2 ** (self.num_levels - 1)
         h_ch = _H_CHANNELS[self.net_type]
 
@@ -99,10 +114,9 @@ class _SCFlowUpdate(nn.Module):
                          name="mask_enc1")
 
         if self.detach_flow:
-            flow = jax.lax.stop_gradient(flow)
+            flow_small = jax.lax.stop_gradient(flow_small)
         if self.detach_mask:
             mask = jax.lax.stop_gradient(mask)
-        flow_small = (1.0 / scale) * interpolate_bilinear(flow, 1.0 / scale)
         corr = corr_lookup(list(pyramid), flow_small, self.radius)
         if self.mask_corr:
             corr = corr * mask
@@ -123,11 +137,6 @@ class _SCFlowUpdate(nn.Module):
         d_rot = d_rot.astype(jnp.float32)
         d_trans = d_trans.astype(jnp.float32)
 
-        flow_pred = scale * interpolate_bilinear(
-            (flow_small + delta_flow).astype(jnp.float32), scale
-        )
-        mask_up = interpolate_bilinear(mask, scale)
-
         R_prev = jax.lax.stop_gradient(R) if self.detach_pose else R
         t_prev = jax.lax.stop_gradient(t) if self.detach_pose else t
         R, t = apply_delta_pose(
@@ -136,11 +145,23 @@ class _SCFlowUpdate(nn.Module):
             detach_depth_for_xy=self.detach_depth_for_xy,
         )
 
-        flow = flow_from_object_points(
-            points_obj, points_valid, R, t, internal_k, self.invalid_flow_num
-        )
-        new_carry = (flow, mask, h_feat, R, t)
-        ys = (flow, flow_pred, R, t, mask_up[..., 0], d_rot, d_trans)
+        # pose-induced flow for the next lookup, at tap pixels only, then
+        # the same 2-tap h-then-w blend + 1/scale the dense downsample does
+        sub_points, sub_valid, pix_sub, wy_lo, wy_hi, wx_lo, wx_hi = lowres
+        fv = flow_from_object_points_at(
+            sub_points, sub_valid, R, t, internal_k, pix_sub,
+            self.invalid_flow_num,
+        )  # (N, 2h, 2w, 2)
+        ho = wy_lo.shape[0]
+        wo = wx_lo.shape[0]
+        y1 = (wy_lo[None, :, None, None] * fv[:, :ho]
+              + wy_hi[None, :, None, None] * fv[:, ho:])
+        y2 = (wx_lo[None, None, :, None] * y1[:, :, :wo]
+              + wx_hi[None, None, :, None] * y1[:, :, wo:])
+        new_flow_small = (1.0 / scale) * y2
+
+        new_carry = (new_flow_small, mask, h_feat, R, t)
+        ys = (flow_small, delta_flow, mask, R, t, d_rot, d_trans)
         return new_carry, ys
 
 
@@ -148,6 +169,25 @@ _SEQ_KEYS = (
     "flow_from_pose", "flow_from_pred", "rotations", "translations",
     "masks", "delta_rotations", "delta_translations",
 )
+
+
+def _flow_seq_from_poses(points_obj, valid, R_seq, t_seq, K, invalid_num):
+    """Dense pose-induced flow for a sequence of poses: (I, N, H, W, 2).
+    Same arithmetic as geometry.flow.flow_from_object_points with a leading
+    iteration axis (avoids materializing I copies of the point cloud)."""
+    pts_cam = (
+        jnp.einsum("snij,nhwj->snhwi", R_seq, points_obj)
+        + t_seq[:, :, None, None, :]
+    )
+    uvw = jnp.einsum("nij,snhwj->snhwi", K, pts_cam)
+    z = jnp.where(valid[None, ..., None], uvw[..., 2:3], 1.0)
+    xy_dst = uvw[..., :2] / z
+    h, w = points_obj.shape[1:3]
+    flow = xy_dst - coords_grid(h, w, points_obj.dtype)[None, None]
+    return jnp.where(
+        valid[None, ..., None], flow,
+        jnp.asarray(invalid_num, points_obj.dtype),
+    )
 
 
 @DECODERS.register_module("SCFlowDecoder")
@@ -229,11 +269,33 @@ class SCFlowDecoder(nn.Module):
             depth, internal_k, ref_rotation, ref_translation
         )
 
+        # static tap-pixel geometry for the in-loop low-res pose flow: the
+        # 1/scale bilinear downsample reads rows ylo/yhi and cols xlo/xhi
+        h_out, w_out = img_h // scale, img_w // scale
+        ylo, yhi, wy_lo, wy_hi = interp_taps(img_h, h_out, True)
+        xlo, xhi, wx_lo, wx_hi = interp_taps(img_w, w_out, True)
+        ridx = np.concatenate([ylo, yhi])
+        cidx = np.concatenate([xlo, xhi])
+        gx, gy = np.meshgrid(cidx.astype(np.float32),
+                             ridx.astype(np.float32), indexing="xy")
+        pix_sub = jnp.asarray(np.stack([gx, gy], axis=-1))  # (2h, 2w, 2)
+        sub_points = points_obj[:, ridx][:, :, cidx]
+        sub_valid = points_valid[:, ridx][:, :, cidx]
+        lowres = (
+            sub_points, sub_valid, pix_sub,
+            jnp.asarray(wy_lo), jnp.asarray(wy_hi),
+            jnp.asarray(wx_lo), jnp.asarray(wx_hi),
+        )
+
         if init_flow is None:
-            init_flow = jnp.zeros((n, img_h, img_w, 2), jnp.float32)
+            flow_small0 = jnp.zeros((n, h_out, w_out, 2), jnp.float32)
+        else:
+            flow_small0 = (1.0 / scale) * interpolate_bilinear(
+                init_flow, 1.0 / scale
+            )
         carry = (
-            init_flow,
-            jnp.ones((n, img_h // scale, img_w // scale, 1), feat_render.dtype),
+            flow_small0,
+            jnp.ones((n, h_out, w_out, 1), feat_render.dtype),
             h_feat,
             ref_rotation,
             ref_translation,
@@ -245,28 +307,42 @@ class SCFlowDecoder(nn.Module):
             collected = []
             for it in range(iters):
                 carry, ys = update(
-                    carry, pyramid, cxt_feat, points_obj, points_valid,
-                    internal_k, label,
+                    carry, pyramid, cxt_feat, lowres, internal_k, label,
                 )
                 if output_sequences or it == iters - 1:
                     collected.append(ys)
             stacked = tuple(
                 jnp.stack([c[i] for c in collected], axis=0)
-                for i in range(len(_SEQ_KEYS))
+                for i in range(len(collected[0]))
             )
         else:
             scan_cls = nn.scan(
                 _SCFlowUpdate,
                 variable_broadcast="params",
                 split_rngs={"params": False},
-                in_axes=(nn.broadcast,) * 6,
+                in_axes=(nn.broadcast,) * 5,
                 length=iters,
             )
             carry, stacked = scan_cls(name="update", **cfg)(
-                carry, pyramid, cxt_feat, points_obj, points_valid,
-                internal_k, label,
+                carry, pyramid, cxt_feat, lowres, internal_k, label,
             )
             if not output_sequences:
                 stacked = tuple(y[-1:] for y in stacked)
 
-        return dict(zip(_SEQ_KEYS, stacked))
+        fs, df, ms, Rs, ts, drs, dts = stacked
+        seq = fs.shape[0]
+        # full-res reconstructions, only for the requested iterations
+        flow_from_pose = _flow_seq_from_poses(
+            points_obj, points_valid, Rs, ts, internal_k, invalid_flow_num
+        )
+        flow_from_pred = scale * interpolate_bilinear(
+            (fs + df).astype(jnp.float32).reshape(seq * n, h_out, w_out, 2),
+            scale,
+        ).reshape(seq, n, img_h, img_w, 2)
+        masks = interpolate_bilinear(
+            ms.reshape(seq * n, h_out, w_out, 1), scale
+        ).reshape(seq, n, img_h, img_w)
+
+        return dict(zip(_SEQ_KEYS, (
+            flow_from_pose, flow_from_pred, Rs, ts, masks, drs, dts,
+        )))

@@ -39,6 +39,13 @@ def pick_face_chunk(num_faces: int, max_fc: int = 512) -> int:
 
 def _kernel(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
             id_mask: int, nc: int):
+    """Depth pass over precomputed edge/z-plane coefficients.
+
+    tri_ref rows (16, F) from `pack_faces_and_bin`: 0-2 E0 (w0 affine
+    coeffs, det-normalized), 3-5 E1, 6-8 Z plane, 9 sorted face id,
+    10 valid (orientation / degeneracy / near-plane folded in at pack
+    time).  Per face-pixel the kernel is pure FMAs + compares — the divide
+    and per-face constants were hoisted to the XLA pack step."""
     n = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -55,29 +62,13 @@ def _kernel(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
         def do(pack):
             start = pl.multiple_of(c * fc, 128)
             blk = tri_ref[0, :, pl.ds(start, fc)]  # (16, FC)
-            ax = blk[0][:, None]
-            ay = blk[1][:, None]
-            bx = blk[2][:, None]
-            by = blk[3][:, None]
-            cx = blk[4][:, None]
-            cy = blk[5][:, None]
-            z0 = blk[6][:, None]
-            z1 = blk[7][:, None]
-            z2 = blk[8][:, None]
-            keybase = blk[9][:, None]  # face id as float (exact below 2^24)
-            valid = blk[10][:, None] > 0.5
-
-            det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
-            det_ok = jnp.abs(det) > 1e-9
-            det_safe = jnp.where(det_ok, det, 1.0)
-            w0 = ((by - cy) * (pxf - cx) + (cx - bx) * (pyf - cy)) / det_safe
-            w1 = ((cy - ay) * (pxf - cx) + (ax - cx) * (pyf - cy)) / det_safe
+            w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
+            w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
             w2 = 1.0 - w0 - w1
-            zpix = w0 * z0 + w1 * z1 + w2 * z2
-            front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
-            cover = (
-                (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & det_ok & front & valid
-            )
+            zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
+            keybase = blk[9][:, None]
+            valid = blk[10][:, None] > 0.5
+            cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
             zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
             packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
             packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
@@ -132,8 +123,9 @@ def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
                    nc: int, id_mask: int):
     """Fused depth-test + winner-attribute kernel.
 
-    tri_ref rows (32, F): 0-5 corner xy, 6-8 corner z, 9 sorted id,
-    10 valid, 11-19 corner normals, 20-28 corner colors.
+    tri_ref rows (32, F): 0-2 E0 / 3-5 E1 (det-normalized barycentric
+    affine coefficients), 6-8 Z plane, 9 sorted id, 10 valid,
+    11-19 corner normals, 20-28 corner colors.
     out_ref (1, 16, TH, TW): 0 z, 1 fg flag, 2 sorted fid, 3-5 normal,
     6-8 color, 9-11 barycentrics, rest zero.
 
@@ -162,27 +154,13 @@ def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
             pack, data = carry
             start = pl.multiple_of(c * fc, 128)
             blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
-            ax = blk[0][:, None]
-            ay = blk[1][:, None]
-            bx = blk[2][:, None]
-            by = blk[3][:, None]
-            cx = blk[4][:, None]
-            cy = blk[5][:, None]
-            z0 = blk[6][:, None]
-            z1 = blk[7][:, None]
-            z2 = blk[8][:, None]
+            w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
+            w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
+            w2 = 1.0 - w0 - w1
+            zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
             keybase = blk[9][:, None]
             valid = blk[10][:, None] > 0.5
-
-            det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
-            det_ok = jnp.abs(det) > 1e-9
-            det_safe = jnp.where(det_ok, det, 1.0)
-            w0 = ((by - cy) * (pxf - cx) + (cx - bx) * (pyf - cy)) / det_safe
-            w1 = ((cy - ay) * (pxf - cx) + (ax - cx) * (pyf - cy)) / det_safe
-            w2 = 1.0 - w0 - w1
-            zpix = w0 * z0 + w1 * z1 + w2 * z2
-            front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
-            cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & det_ok & front & valid
+            cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
             zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
             # keys are unique per face (id in low bits), so the one-hot
             # equality-select below has exactly one hit for covered pixels
@@ -220,17 +198,13 @@ def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
     pack, data = jax.lax.fori_loop(0, nc, chunk_body, init)
 
     fg = (pack != INT32_MAX).astype(jnp.float32)
-    # winner barycentrics/z recomputed exactly from the carried face row
-    det = (data[3] - data[5]) * (data[0] - data[4]) + (data[4] - data[2]) * (
-        data[1] - data[5]
-    )
-    det_safe = jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+    # winner barycentrics/z recomputed from the carried coefficient rows
     pxl = pxf[0]
     pyl = pyf[0]
-    w0 = ((data[3] - data[5]) * (pxl - data[4]) + (data[4] - data[2]) * (pyl - data[5])) / det_safe
-    w1 = ((data[5] - data[1]) * (pxl - data[4]) + (data[0] - data[4]) * (pyl - data[5])) / det_safe
+    w0 = data[0] * pxl + data[1] * pyl + data[2]
+    w1 = data[3] * pxl + data[4] * pyl + data[5]
     w2 = 1.0 - w0 - w1
-    z = w0 * data[6] + w1 * data[7] + w2 * data[8]
+    z = data[6] * pxl + data[7] * pyl + data[8]
 
     out = [
         z * fg,
@@ -295,8 +269,17 @@ def pack_faces_and_bin(
     """XLA-side preprocessing: sort faces by projected tile for chunk
     coherence, pack per-face rows, and build the (tile, chunk) activity mask.
 
-    Returns (tri (N,16,F'), active (N,TY,TX,NC) int32, perm (N,F') sorted->
-    original face index).
+    Per-face constants are precomputed here so the kernels' inner loop is
+    pure FMAs: barycentrics are affine in screen space,
+    w0(p) = E0x*px + E0y*py + E0c (det-normalized, so the divide happens
+    once per face, not per face-pixel), likewise w1; interpolated depth is
+    the affine plane z(p) = Zx*px + Zy*py + Zc.  Orientation/degeneracy
+    (|det| <= 1e-9) and the near-plane test (min corner z > 1e-6) fold into
+    the valid row.
+
+    Returns (tri (N,16,F') rows [E0(3), E1(3), Z(3), sorted id, valid,
+    0...], active (N,TY,TX,NC) int32, perm (N,F') sorted->original face
+    index).
     """
     n, f = face_valid.shape
     pad = (-f) % fc
@@ -331,14 +314,30 @@ def pack_faces_and_bin(
     xmin, xmax = take(xmin[..., None])[..., 0], take(xmax[..., None])[..., 0]
     ymin, ymax = take(ymin[..., None])[..., 0], take(ymax[..., None])[..., 0]
 
+    ax, ay = tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1]
+    bx, by = tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1]
+    cx, cy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]
+    z0, z1, z2 = tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2]
+    det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    e0x = (by - cy) * inv_det
+    e0y = (cx - bx) * inv_det
+    e0c = -(e0x * cx + e0y * cy)
+    e1x = (cy - ay) * inv_det
+    e1y = (ax - cx) * inv_det
+    e1c = -(e1x * cx + e1y * cy)
+    dz0, dz1 = z0 - z2, z1 - z2
+    zx = e0x * dz0 + e1x * dz1
+    zy = e0y * dz0 + e1y * dz1
+    zc = z2 + e0c * dz0 + e1c * dz1
+    front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
+    valid_row = (face_valid & det_ok & front).astype(jnp.float32)
     rows = jnp.stack(
         [
-            tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1],
-            tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1],
-            tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1],
-            tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2],
+            e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc,
             jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0),  # sorted id
-            face_valid.astype(jnp.float32),
+            valid_row,
         ]
         + [jnp.zeros((n, f), jnp.float32)] * 5,
         axis=1,

@@ -13,22 +13,38 @@ import numpy as np
 
 
 @lru_cache(maxsize=64)
-def _interp_matrix(n_in: int, n_out: int, align_corners: bool = True) -> np.ndarray:
-    """(n_out, n_in) sparse-ish bilinear interpolation matrix."""
-    m = np.zeros((n_out, n_in), dtype=np.float32)
+def interp_taps(n_in: int, n_out: int, align_corners: bool = True):
+    """Per-output-row bilinear taps: (lo, hi, w_lo, w_hi) int32/float32
+    arrays of shape (n_out,).  `_interp_matrix` is built from these, so a
+    2-tap blend over gathered rows reproduces the matrix product exactly
+    (adding the matrix's zero entries is an exact no-op for finite values)."""
+    lo = np.zeros(n_out, np.int32)
+    hi = np.zeros(n_out, np.int32)
+    w_lo = np.ones(n_out, np.float32)
+    w_hi = np.zeros(n_out, np.float32)
     if n_out == 1:
-        m[0, 0] = 1.0
-        return m
+        return lo, hi, w_lo, w_hi
     for i in range(n_out):
         if align_corners:
             src = i * (n_in - 1) / (n_out - 1)
         else:
             src = max(0.0, min(n_in - 1.0, (i + 0.5) * n_in / n_out - 0.5))
-        lo = int(np.floor(src))
-        hi = min(lo + 1, n_in - 1)
-        frac = src - lo
-        m[i, lo] += 1.0 - frac
-        m[i, hi] += frac
+        lo[i] = int(np.floor(src))
+        hi[i] = min(lo[i] + 1, n_in - 1)
+        frac = src - lo[i]
+        w_lo[i] = 1.0 - frac
+        w_hi[i] = frac
+    return lo, hi, w_lo, w_hi
+
+
+@lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool = True) -> np.ndarray:
+    """(n_out, n_in) sparse-ish bilinear interpolation matrix."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    lo, hi, w_lo, w_hi = interp_taps(n_in, n_out, align_corners)
+    for i in range(n_out):
+        m[i, lo[i]] += w_lo[i]
+        m[i, hi[i]] += w_hi[i]
     return m
 
 

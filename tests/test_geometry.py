@@ -201,6 +201,50 @@ class TestFlowFromPose:
         assert np.abs(flow[valid]).max() < 1e-2
         assert np.all(flow[~valid] == 400.0)
 
+    def test_tap_blend_equals_dense_downsample(self, rng):
+        """The decoder's in-loop low-res pose flow (reproject only the 2x2
+        tap pixels, blend h-then-w) must equal bilinearly downsampling the
+        dense pose flow — the semantics the reference's recurrence uses
+        (scflow_decoder.py:196-227)."""
+        from scflow_tpu.geometry.flow import flow_from_object_points_at
+        from scflow_tpu.ops.resize import interp_taps, interpolate_bilinear
+
+        n, h, w, scale = 2, 32, 64, 8
+        K, R_src, t_src, depth = make_scene(rng, n=n, h=h, w=w)
+        R_dst = random_rotation(rng, n)
+        t_dst = t_src + rng.normal(size=t_src.shape).astype(np.float32) * 10
+        pts, valid = lift_depth_to_object_points(
+            jnp.asarray(depth), jnp.asarray(K), jnp.asarray(R_src),
+            jnp.asarray(t_src),
+        )
+        dense = flow_from_object_points(
+            pts, valid, jnp.asarray(R_dst), jnp.asarray(t_dst),
+            jnp.asarray(K), invalid_num=0.0,
+        )
+        want = np.asarray(
+            (1.0 / scale) * interpolate_bilinear(dense, 1.0 / scale)
+        )
+
+        ylo, yhi, wy_lo, wy_hi = interp_taps(h, h // scale, True)
+        xlo, xhi, wx_lo, wx_hi = interp_taps(w, w // scale, True)
+        ridx = np.concatenate([ylo, yhi])
+        cidx = np.concatenate([xlo, xhi])
+        gx, gy = np.meshgrid(cidx.astype(np.float32),
+                             ridx.astype(np.float32), indexing="xy")
+        pix = jnp.asarray(np.stack([gx, gy], axis=-1))
+        fv = flow_from_object_points_at(
+            pts[:, ridx][:, :, cidx], valid[:, ridx][:, :, cidx],
+            jnp.asarray(R_dst), jnp.asarray(t_dst), jnp.asarray(K), pix,
+            invalid_num=0.0,
+        )
+        ho, wo = h // scale, w // scale
+        y1 = wy_lo[None, :, None, None] * fv[:, :ho] \
+            + wy_hi[None, :, None, None] * fv[:, ho:]
+        y2 = wx_lo[None, None, :, None] * y1[:, :, :wo] \
+            + wx_hi[None, None, :, None] * y1[:, :, wo:]
+        got = np.asarray((1.0 / scale) * y2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
     def test_lift_project_roundtrip(self, rng):
         K, R, t, depth = make_scene(rng)
         pts, valid = lift_depth_to_object_points(
