@@ -82,7 +82,8 @@ def _kernel(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits")
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits",
+                              "interpret")
 )
 def rasterize_packed_pallas(
     tri: jnp.ndarray,  # (N, 16, F) packed face rows (see _pack_tri)
@@ -93,6 +94,7 @@ def rasterize_packed_pallas(
     tw: int = 128,
     fc: int = 128,
     id_bits: int = 11,
+    interpret: bool = False,  # pallas interpret mode (CPU tests)
 ) -> jnp.ndarray:
     """Returns packed winner keys (N, H, W) int32 (INT32_MAX = background)."""
     n = tri.shape[0]
@@ -116,6 +118,7 @@ def rasterize_packed_pallas(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(active.reshape(-1), tri)
 
 
@@ -221,7 +224,8 @@ def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits")
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits",
+                              "interpret")
 )
 def rasterize_shaded_pallas(
     tri: jnp.ndarray,  # (N, 32, F) packed rows incl. corner normals/colors
@@ -232,6 +236,7 @@ def rasterize_shaded_pallas(
     tw: int = 128,
     fc: int = 128,
     id_bits: int = 11,
+    interpret: bool = False,  # pallas interpret mode (CPU tests)
 ) -> jnp.ndarray:
     """Returns (N, 16, H, W) f32 fragment maps (see _kernel_shaded)."""
     n = tri.shape[0]
@@ -253,6 +258,7 @@ def rasterize_shaded_pallas(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, 16, h, w), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(active.reshape(-1), tri)
 
 
