@@ -7,6 +7,7 @@ from scflow_tpu.runtime.runner import (
     TextLoggerHook,
     CheckpointHook,
     EvalHook,
+    ProfileHook,
     TensorboardHook,
 )
 from scflow_tpu.runtime.convert_torch import (
@@ -28,6 +29,7 @@ __all__ = [
     "TextLoggerHook",
     "CheckpointHook",
     "EvalHook",
+    "ProfileHook",
     "TensorboardHook",
     "convert_torch_checkpoint",
     "convert_state_dict_to_variables",

@@ -63,6 +63,40 @@ class TextLoggerHook(Hook):
         )
 
 
+class ProfileHook(Hook):
+    """Captures a jax.profiler trace (xprof/TensorBoard format) of training
+    steps [start, start + num_steps).  The TPU-native replacement for the
+    reference's wall-clock-only instrumentation (SURVEY.md §5 'Tracing'):
+    the trace shows per-op device time for render / encoders / recurrence /
+    optimizer, viewable in TensorBoard's profile plugin."""
+
+    def __init__(self, log_dir: str, start: int = 10, num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop = start + num_steps
+        self._active = False
+
+    def after_train_iter(self, runner):
+        import jax
+
+        if runner.iter + 1 == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+            runner.logger.info(f"profiler: tracing -> {self.log_dir}")
+        elif runner.iter + 1 == self.stop and self._active:
+            jax.block_until_ready(runner.state.params)
+            jax.profiler.stop_trace()
+            self._active = False
+            runner.logger.info("profiler: trace captured")
+
+    def after_run(self, runner):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class CheckpointHook(Hook):
     def __init__(self, interval: int = 10000):
         self.interval = interval

@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--max-iters", default=None, type=int)
     p.add_argument("--num-workers", default=None, type=int)
     p.add_argument("--nan-check", action="store_true")
+    p.add_argument("--profile-steps", default=0, type=int,
+                   help="capture a jax.profiler trace of N steps "
+                        "(starting at step 10) into WORK_DIR/profile")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="override config entries, key=value")
     return p.parse_args()
@@ -115,6 +118,13 @@ def main():
                                           image_size)
 
     hooks = [TextLoggerHook(cfg.get("log_config", {}).get("interval", 50))]
+    if args.profile_steps:
+        from scflow_tpu.runtime import ProfileHook
+
+        hooks.append(
+            ProfileHook(os.path.join(work_dir, "profile"),
+                        num_steps=args.profile_steps)
+        )
     hooks.append(CheckpointHook(cfg.get("checkpoint_config", {}).get("interval", 10000)))
     for hcfg in cfg.get("log_config", {}).get("hooks", []):
         if hcfg.get("type", "").startswith("Tensorboard"):
