@@ -128,8 +128,11 @@ def corr_lookup(
         out = jnp.einsum(
             "bjw,bkw->bjk", wx, tmp, preferred_element_type=jnp.float32
         )  # (B, k0, k1)
-        outs.append(out.reshape(n, h, w, k * k))
-    return jnp.concatenate(outs, axis=-1)
+        outs.append(out.reshape(b, k * k))
+    # flat concat + one final reshape (XLA places the same layout-change
+    # copies either way — the (B,9,9) tiles pad 9->128 lanes regardless; a
+    # pallas lookup kernel emitting (B, L*81) directly is the known fix)
+    return jnp.concatenate(outs, axis=-1).reshape(n, h, w, len(pyramid) * k * k)
 
 
 def local_correlation(
