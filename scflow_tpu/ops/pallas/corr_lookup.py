@@ -1,0 +1,150 @@
+"""Pallas TPU kernel for the multi-level windowed bilinear corr lookup.
+
+Replaces the XLA tent-matmul formulation (ops/corr.py::corr_lookup, itself a
+TPU re-design of the reference CorrLookup grid_samples,
+models/utils/corr_lookup.py:102-136) with one fused kernel over all pyramid
+levels that writes the (B, L*(2r+1)^2) tap tensor directly — no per-level
+(B, 9, 9) intermediates (whose 9-lane tiles pad to 128 and cost ~2.3 ms/step
+in layout copies at batch 16).
+
+Formulation per level (size S = Hl = Wl, window k = 2r+1):
+
+    out[b, j*k + i] = sum_{h,w} wy[b,i,h] * wx[b,j,w] * m[b,h,w]
+
+with tent weights wy[b,i,h] = max(0, 1 - |py_b + off_i - h|) (two nonzeros
+per tap; exactly grid_sample-with-zeros-padding).  The kernel keeps the map
+FLAT on the lane axis (m is (BB, S*S), lanes l = h*S + w) so every VPU op
+uses full 128-lane vectors:
+
+  pass 1 (y-taps): for each i, multiply m by wy_flat_i[l] = tent(py - l//S)
+      and contract h with a static 0/1 matrix G1[l, w] = (l%S == w) on the
+      MXU -> tmp_i (BB, S); tmp packs as (BB, k*S) at columns i*S + w.
+  pass 2 (x-taps): for each j, multiply tmp by wx_flat_j[l] = tent(px - l%S)
+      and contract w with G2[l, i] = (l//S == i) -> out columns j*k + i.
+
+Levels share one grid over B row-blocks; each level's taps land at its
+static column offset of the (BB, L*k*k) output block.
+"""
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _tent(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _kernel(coords_ref, *refs, sizes, radius: int, bb: int):
+    m_refs = refs[:-1]
+    out_ref = refs[-1]
+    k = 2 * radius + 1
+    cx = coords_ref[:, 0:1]  # (BB, 1)
+    cy = coords_ref[:, 1:2]
+
+    outs = []
+    for lvl, (m_ref, s) in enumerate(zip(m_refs, sizes)):
+        px = cx * (1.0 / 2.0**lvl)
+        py = cy * (1.0 / 2.0**lvl)
+        m = m_ref[...].astype(jnp.float32)  # (BB, S*S)
+        ss = s * s
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (1, ss), 1)
+        hidx = (lidx // s).astype(jnp.float32)  # (1, SS)
+        widx = (lidx % s).astype(jnp.float32)
+        # G1[l, w] = (l % S == w); G2[l2, i] = (l2 // S == i)
+        g1 = (
+            jax.lax.broadcasted_iota(jnp.int32, (ss, s), 0) % s
+            == jax.lax.broadcasted_iota(jnp.int32, (ss, s), 1)
+        ).astype(jnp.float32)
+        ks = k * s
+        g2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (ks, k), 0) // s
+            == jax.lax.broadcasted_iota(jnp.int32, (ks, k), 1)
+        ).astype(jnp.float32)
+        l2w = jax.lax.broadcasted_iota(jnp.int32, (1, ks), 1) % s  # (1, k*S)
+        l2w = l2w.astype(jnp.float32)
+
+        # pass 1: y-taps -> tmp (BB, k*S), columns i*S + w
+        tmps = []
+        for i in range(k):
+            wy = _tent(py + (i - radius) - hidx)  # (BB, SS)
+            tmps.append(
+                jax.lax.dot_general(
+                    wy * m, g1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (BB, S)
+        tmp = jnp.concatenate(tmps, axis=-1)  # (BB, k*S)
+
+        # pass 2: x-taps -> (BB, k*k), columns j*k + i
+        for j in range(k):
+            wx = _tent(px + (j - radius) - l2w)  # (BB, k*S)
+            outs.append(
+                jax.lax.dot_general(
+                    wx * tmp, g2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (BB, k)
+    out_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "bb", "interpret"))
+def corr_lookup_pallas_flat(
+    pyramid_flat: Sequence[jnp.ndarray],  # level l: (B, Sl*Sl)
+    coords: jnp.ndarray,  # (B, 2) float32 full-scale window centers (x, y)
+    radius: int = 4,
+    bb: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, L*(2r+1)^2) f32, level-major, tap index j*k+i (j offsets
+    x, i offsets y — reference tap-order parity, see ops/corr.py)."""
+    b = coords.shape[0]
+    sizes = []
+    for m in pyramid_flat:
+        s = int(round(m.shape[1] ** 0.5))
+        assert s * s == m.shape[1], m.shape
+        sizes.append(s)
+    k = 2 * radius + 1
+    n_out = len(pyramid_flat) * k * k
+    assert b % bb == 0, (b, bb)
+    grid = (b // bb,)
+    kern = functools.partial(_kernel, sizes=tuple(sizes), radius=radius, bb=bb)
+    in_specs = [pl.BlockSpec((bb, 2), lambda i: (i, 0))]
+    in_specs += [
+        pl.BlockSpec((bb, m.shape[1]), lambda i: (i, 0)) for m in pyramid_flat
+    ]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n_out), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, n_out), lambda i: (i, 0)),
+        interpret=interpret,
+    )(coords, *pyramid_flat)
+
+
+def corr_lookup_pallas(
+    pyramid: Sequence[jnp.ndarray],  # level l: (N*H*W, Sl, Sl, 1)
+    flow: jnp.ndarray,  # (N, H, W, 2) at feature resolution
+    radius: int = 4,
+    bb: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ops.corr.corr_lookup with the same (N, H, W, L*k^2)
+    output; see module docstring."""
+    n, h, w, _ = flow.shape
+    k = 2 * radius + 1
+    b = n * h * w
+    ys = jnp.arange(h, dtype=flow.dtype)
+    xs = jnp.arange(w, dtype=flow.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    cx = (gx[None] + flow[..., 0]).reshape(b)
+    cy = (gy[None] + flow[..., 1]).reshape(b)
+    coords = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)
+    flat = [m.reshape(b, -1) for m in pyramid]
+    out = corr_lookup_pallas_flat(flat, coords, radius=radius, bb=bb,
+                                  interpret=interpret)
+    return out.reshape(n, h, w, len(pyramid) * k * k)
