@@ -72,6 +72,7 @@ def main():
     infer = make_scflow_infer_fn(
         model, render_assets, image_size=(img, img),
         render_backend="pallas" if on_tpu else "xla",
+        lookup_backend="pallas" if on_tpu else "xla",
     )
     bdict = {
         "real_images": real,

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
-from scflow_tpu.ops.corr import corr_lookup, correlation_pyramid
+from scflow_tpu.ops.corr import corr_lookup_dispatch, correlation_pyramid
 from scflow_tpu.ops.resize import interpolate_bilinear
 from scflow_tpu.ops.upsample import convex_upsample
 from scflow_tpu.registry import DECODERS
@@ -35,6 +35,7 @@ class RAFTDecoder(nn.Module):
     convex_upsample_flow: bool = True
     predict_occlusion: bool = False  # True -> RAFTDecoderMask behavior
     dtype: Any = None
+    lookup_backend: str = "xla"
 
     @property
     def h_channels(self):
@@ -53,8 +54,10 @@ class RAFTDecoder(nn.Module):
         h_feat: jnp.ndarray,
         cxt_feat: jnp.ndarray,
         iters: Optional[int] = None,
+        lookup_backend: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
+        lookup_backend = lookup_backend or self.lookup_backend
         scale = 2 ** (self.num_levels - 1)
         pyramid = correlation_pyramid(feat1, feat2, self.num_levels,
                                       out_dtype=self.dtype)
@@ -82,7 +85,8 @@ class RAFTDecoder(nn.Module):
         upflows, upoccs = [], []
         for _ in range(iters):
             flow = jax.lax.stop_gradient(flow)
-            corr = corr_lookup(pyramid, flow, self.radius)
+            corr = corr_lookup_dispatch(pyramid, flow, self.radius,
+                                        backend=lookup_backend)
             motion_feat = motion_enc(corr, flow)
             x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
             h_feat = gru(h_feat, x)

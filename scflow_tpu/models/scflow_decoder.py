@@ -45,7 +45,7 @@ from scflow_tpu.geometry.se3 import apply_delta_pose
 from scflow_tpu.models.layers import ConvModule
 from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
 from scflow_tpu.models.pose_head import MultiClassPoseHead, SingleClassPoseHead
-from scflow_tpu.ops.corr import corr_lookup, correlation_pyramid
+from scflow_tpu.ops.corr import corr_lookup_dispatch, correlation_pyramid
 from scflow_tpu.ops.resize import interp_taps, interpolate_bilinear
 from scflow_tpu.registry import DECODERS
 
@@ -71,6 +71,7 @@ class _SCFlowUpdate(nn.Module):
     invalid_flow_num: float = 0.0
     pose_head_cfg: Optional[dict] = None
     dtype: Any = None
+    lookup_backend: str = "xla"
 
     def _build_pose_head(self):
         cfg = dict(self.pose_head_cfg or {"type": "MultiClassPoseHead"})
@@ -117,7 +118,9 @@ class _SCFlowUpdate(nn.Module):
             flow_small = jax.lax.stop_gradient(flow_small)
         if self.detach_mask:
             mask = jax.lax.stop_gradient(mask)
-        corr = corr_lookup(list(pyramid), flow_small, self.radius)
+        corr = corr_lookup_dispatch(
+            pyramid, flow_small, self.radius, backend=self.lookup_backend
+        )
         if self.mask_corr:
             corr = corr * mask
         motion_feat = motion_enc(
@@ -208,6 +211,7 @@ class SCFlowDecoder(nn.Module):
     pose_head_cfg: Optional[dict] = None
     dtype: Any = None
     unroll: bool = True
+    lookup_backend: str = "xla"
 
     @property
     def h_channels(self):
@@ -217,8 +221,10 @@ class SCFlowDecoder(nn.Module):
     def cxt_channels(self):
         return _CXT_CHANNELS[self.net_type]
 
-    def _update_cfg(self, invalid_flow_num: float) -> dict:
+    def _update_cfg(self, invalid_flow_num: float,
+                    lookup_backend: Optional[str] = None) -> dict:
         return dict(
+            lookup_backend=lookup_backend or self.lookup_backend,
             net_type=self.net_type,
             num_levels=self.num_levels,
             radius=self.radius,
@@ -253,6 +259,7 @@ class SCFlowDecoder(nn.Module):
         iters: Optional[int] = None,
         output_sequences: bool = True,
         unroll: Optional[bool] = None,
+        lookup_backend: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         unroll = self.unroll if unroll is None else unroll
@@ -300,7 +307,7 @@ class SCFlowDecoder(nn.Module):
             ref_rotation,
             ref_translation,
         )
-        cfg = self._update_cfg(invalid_flow_num)
+        cfg = self._update_cfg(invalid_flow_num, lookup_backend)
 
         if unroll:
             update = _SCFlowUpdate(name="update", **cfg)

@@ -135,6 +135,29 @@ def corr_lookup(
     return jnp.concatenate(outs, axis=-1).reshape(n, h, w, len(pyramid) * k * k)
 
 
+def corr_lookup_dispatch(
+    pyramid: Sequence[jnp.ndarray], flow: jnp.ndarray, radius: int = 4,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Backend-selectable lookup: 'xla' = tent-matmul einsums (above,
+    differentiable — the training default), 'pallas' = the fused kernel
+    (ops/pallas/corr_lookup.py) writing (B, L*k^2) directly — ~2x faster on
+    v5e and *closer* to the fp64 oracle than the XLA path (both are
+    MXU-bf16-rounded; measured rel err 4.0e-3 vs 6.3e-3), forward-only.
+    'auto' resolves to pallas on TPU, xla elsewhere."""
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+        return corr_lookup_pallas(list(pyramid), flow, radius)
+    if backend == "xla":
+        return corr_lookup(list(pyramid), flow, radius)
+    raise KeyError(f"unknown corr-lookup backend {backend!r}")
+
+
 def local_correlation(
     feat1: jnp.ndarray, feat2: jnp.ndarray, max_displacement: int = 4,
     normalize: bool = True,

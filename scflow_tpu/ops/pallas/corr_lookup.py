@@ -138,6 +138,7 @@ def corr_lookup_pallas(
     n, h, w, _ = flow.shape
     k = 2 * radius + 1
     b = n * h * w
+    bb = min(bb, max(8, -(-b // 8) * 8))
     ys = jnp.arange(h, dtype=flow.dtype)
     xs = jnp.arange(w, dtype=flow.dtype)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
@@ -145,6 +146,12 @@ def corr_lookup_pallas(
     cy = (gy[None] + flow[..., 1]).reshape(b)
     coords = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)
     flat = [m.reshape(b, -1) for m in pyramid]
+    pad = (-b) % bb
+    if pad:
+        coords = jnp.pad(coords, ((0, pad), (0, 0)))
+        flat = [jnp.pad(m, ((0, pad), (0, 0))) for m in flat]
     out = corr_lookup_pallas_flat(flat, coords, radius=radius, bb=bb,
                                   interpret=interpret)
+    if pad:
+        out = out[:b]
     return out.reshape(n, h, w, len(pyramid) * k * k)

@@ -104,6 +104,7 @@ class _RAFTRefinerBase(nn.Module):
         init_flow: Optional[jnp.ndarray] = None,
         iters: Optional[int] = None,
         train: bool = False,
+        lookup_backend: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
             render_images, real_images, train
@@ -112,7 +113,8 @@ class _RAFTRefinerBase(nn.Module):
             n, h, w, _ = feat_real.shape
             init_flow = jnp.zeros((n, h, w, 2), feat_real.dtype)
         return self.decoder(
-            feat_render, feat_real, init_flow, h_feat, cxt_feat, iters=iters
+            feat_render, feat_real, init_flow, h_feat, cxt_feat, iters=iters,
+            lookup_backend=lookup_backend,
         )
 
 

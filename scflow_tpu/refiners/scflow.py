@@ -117,6 +117,7 @@ class SCFlowRefiner(nn.Module):
         train: bool = False,
         output_sequences: bool = True,
         unroll: Optional[bool] = None,
+        lookup_backend: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
             render_images, real_images, train
@@ -136,4 +137,5 @@ class SCFlowRefiner(nn.Module):
             iters=iters,
             output_sequences=output_sequences,
             unroll=unroll,
+            lookup_backend=lookup_backend,
         )

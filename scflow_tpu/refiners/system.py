@@ -67,6 +67,14 @@ def loss_assets_from_bank(bank, symmetry_types: dict, mesh_diameter=None) -> Los
     )
 
 
+def resolve_backend(name: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'xla' elsewhere (CPU runs the Pallas
+    kernels only in interpret mode, which is test-only)."""
+    if name == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return name
+
+
 def render_and_normalize(
     render_assets: RenderAssets,
     ref_rotations,
@@ -81,6 +89,7 @@ def render_and_normalize(
 ):
     """Render at the reference pose and normalize like the data pipeline
     (base_refiner.py:153-166: image/255-space mean/std)."""
+    backend = resolve_backend(backend)
     h, w = image_size
     out = render_batch(
         render_assets.verts,
@@ -166,7 +175,8 @@ def make_scflow_train_step(
     filter_invalid_flow: bool = True,
     loss_kwargs: Optional[Dict[str, Any]] = None,
     render_chunk: int = 64,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "xla",
     donate: bool = True,
 ):
     """Returns jitted train_step(state, batch) -> (state, log_vars).
@@ -214,6 +224,7 @@ def make_scflow_train_step(
                 batch["k"],
                 batch["labels"],
                 train=True,
+                lookup_backend=lookup_backend,
                 mutable=mutable,
             )
             loss, log_vars = scflow_sequence_losses(
@@ -258,7 +269,8 @@ def make_raft_train_step(
     flow_weight: float = 1.0,
     occlusion_weight: float = 100.0,
     render_chunk: int = 64,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "xla",
     donate: bool = True,
 ):
     """Train step for the RAFT baseline refiners (flow [+ occlusion] losses;
@@ -295,7 +307,7 @@ def make_raft_train_step(
                 mutable = ["batch_stats"]
             out, updates = model.apply(
                 variables, rendered_images, batch["real_images"], train=True,
-                mutable=mutable,
+                lookup_backend=lookup_backend, mutable=mutable,
             )
             T = out["flow"].shape[0]
             log_vars: Dict[str, jnp.ndarray] = {}
@@ -336,7 +348,8 @@ def make_raft_infer_fn(
     norm_std=(255.0, 255.0, 255.0),
     iters: Optional[int] = None,
     render_chunk: int = 64,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
 ):
     """Inference for RAFT refiners: returns final flow (+occlusion) and the
     rendered depth the host PnP step consumes (flow_pose.solve_poses_from_flow)."""
@@ -350,7 +363,7 @@ def make_raft_infer_fn(
         )
         out = model.apply(
             variables, rendered_images, batch["real_images"], iters=iters,
-            train=False,
+            train=False, lookup_backend=lookup_backend,
         )
         res = {
             "flow": out["flow"][-1],
@@ -372,7 +385,8 @@ def make_scflow_infer_fn(
     norm_std=(255.0, 255.0, 255.0),
     iters: Optional[int] = None,
     render_chunk: int = 64,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
     unroll: bool = False,
 ):
     """Returns jitted infer(variables, batch) -> dict with final rotations /
@@ -410,6 +424,7 @@ def make_scflow_infer_fn(
             train=False,
             output_sequences=False,
             unroll=unroll,
+            lookup_backend=lookup_backend,
         )
         return {
             "rotations": out["rotations"][-1],
@@ -431,7 +446,8 @@ def make_raft_val_step(
     norm_std=(255.0, 255.0, 255.0),
     max_flow: float = 400.0,
     iters: Optional[int] = None,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
 ):
     """Validation metrics for the flow refiners (reference
     raft_refiner_flow_mask.py:241-283): flow EPE (+noc variant filtered by
@@ -447,7 +463,7 @@ def make_raft_val_step(
         )
         out = model.apply(
             variables, rendered_images, batch["real_images"], iters=iters,
-            train=False,
+            train=False, lookup_backend=lookup_backend,
         )
         flow = out["flow"][-1]
         gt_flow = flow_from_pose_and_depth(
@@ -489,7 +505,8 @@ def make_scflow_cycled_infer_fn(
     norm_std=(255.0, 255.0, 255.0),
     iters: Optional[int] = None,
     render_chunk: int = 64,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
     unroll: bool = False,
 ):
     """Multi-pass refinement (reference forward_multiple_pass,
@@ -510,7 +527,7 @@ def make_scflow_cycled_infer_fn(
             out = model.apply(
                 variables, rendered_images, batch["real_images"], R, t,
                 rendered_depths, batch["k"], batch["labels"], iters=iters,
-                train=False, unroll=unroll,
+                train=False, unroll=unroll, lookup_backend=lookup_backend,
             )
             R = out["rotations"][-1]
             t = out["translations"][-1]

@@ -134,7 +134,10 @@ def render_batch(
     # explicit non-default set (rendering.py:204)
     amb, dif, spec = (0.5, 0.3, 0.2) if default_lights else (0.8, 0.5, 1.0)
 
-    if backend == "pallas":
+    # the fused kernel tiles the image as (8, 128) blocks; Mosaic rejects
+    # narrower lane tiles (e.g. 64-wide reshapes), so small crops take the
+    # XLA path — at those sizes the brute-force reduction is cheap anyway
+    if backend == "pallas" and h % 8 == 0 and w % 128 == 0:
         return _render_pallas(
             verts_cam, normals_cam, colors, faces, face_valid, K, labels,
             h, w, light_cam,

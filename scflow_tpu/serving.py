@@ -114,7 +114,8 @@ def make_serving_fn(
     norm_std=(255.0, 255.0, 255.0),
     margin: float = 1.1,
     iters: Optional[int] = None,
-    render_backend: str = "xla",
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
 ):
     """Returns jitted serve(variables, frames, frame_idx, ref_R, ref_t, K,
     labels) -> {'rotations', 'translations'} in the original camera frame.
@@ -143,6 +144,7 @@ def make_serving_fn(
             variables, rendered_images, real_images, ref_rotations,
             ref_translations, rendered_depths, newK, labels, iters=iters,
             train=False, output_sequences=False, unroll=False,
+            lookup_backend=lookup_backend,
         )
         # adapt_intrinsic: poses live in the original camera frame already
         return {

@@ -128,6 +128,24 @@ class TestCorrelation:
         expect = torch.cat(out_levels, dim=-1).numpy()
         np.testing.assert_allclose(got, expect, atol=1e-4)
 
+    @pytest.mark.parametrize("n,h,w", [(2, 8, 8), (1, 8, 8), (3, 4, 4)])
+    def test_pallas_lookup_matches_xla(self, rng, n, h, w):
+        """Fused Pallas lookup kernel (interpret mode on CPU) == the XLA
+        tent-matmul path, including B % block != 0 row padding."""
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+        c = 16
+        f1 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        f2 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        flow = rng.normal(size=(n, h, w, 2)).astype(np.float32) * 2
+        pyr = correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 2)
+        want = np.asarray(corr_lookup(pyr, jnp.asarray(flow), radius=2))
+        got = np.asarray(
+            corr_lookup_pallas(pyr, jnp.asarray(flow), radius=2,
+                               interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
 
 class TestConvexUpsample:
     def test_vs_torch_unfold(self, rng):
