@@ -16,7 +16,7 @@ render/rasterizer.py pass 2).
 """
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -225,7 +225,7 @@ def _kernel_shaded(active_ref, tri_ref, out_ref, *, fc: int, th: int, tw: int,
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits",
-                              "interpret")
+                              "interpret", "version")
 )
 def rasterize_shaded_pallas(
     tri: jnp.ndarray,  # (N, 32, F) packed rows incl. corner normals/colors
@@ -237,13 +237,15 @@ def rasterize_shaded_pallas(
     fc: int = 128,
     id_bits: int = 11,
     interpret: bool = False,  # pallas interpret mode (CPU tests)
+    version: int = 2,  # 2 = value-carry selection (faster, more exact)
 ) -> jnp.ndarray:
     """Returns (N, 16, H, W) f32 fragment maps (see _kernel_shaded)."""
     n = tri.shape[0]
     ty, tx = h // th, w // tw
     nc = active.shape[-1]
     kern = functools.partial(
-        _kernel_shaded, fc=fc, th=th, tw=tw, nc=nc, id_mask=(1 << id_bits) - 1
+        _kernel_shaded_v2 if version == 2 else _kernel_shaded,
+        fc=fc, th=th, tw=tw, nc=nc, id_mask=(1 << id_bits) - 1
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -262,6 +264,232 @@ def rasterize_shaded_pallas(
     )(active.reshape(-1), tri)
 
 
+def _kernel_shaded_v2(active_ref, tri_ref, out_ref, *, fc: int, th: int,
+                      tw: int, nc: int, id_mask: int):
+    """_kernel_shaded with value-carry winner selection.
+
+    The v1 kernel selected the winner's 16 geometry rows with a
+    Precision.HIGHEST matmul (6 MXU passes) and re-derived barycentrics/z
+    from the selected coefficients.  But w0/w1/z are already computed per
+    (face, pixel) in exact fp32 on the VPU — so this kernel selects the
+    VALUES with 4 masked reduces (exact, no matmul rounding at all) and
+    keeps ONE default-precision matmul for the 18 attribute rows.  MXU work
+    per active chunk drops ~3.5x; accuracy of bary/z strictly improves.
+    """
+    n = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    act_base = ((n * pl.num_programs(1) + ty) * pl.num_programs(2) + tx) * nc
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    pxf = px.reshape(1, th * tw)
+    pyf = py.reshape(1, th * tw)
+    thw = th * tw
+
+    def chunk_body(c, carry):
+        pack, vals, attrs = carry
+
+        def do(carry):
+            pack, vals, attrs = carry
+            start = pl.multiple_of(c * fc, 128)
+            blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
+            w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
+            w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
+            w2 = 1.0 - w0 - w1
+            zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
+            keybase = blk[9][:, None]
+            valid = blk[10][:, None] > 0.5
+            cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+            zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
+            packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
+            packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
+            chunk_min = jnp.min(packed, axis=0)  # (THW,)
+
+            # winner-value selection: keys are unique per face, so the mask
+            # has exactly one hit for covered pixels; uncovered pixels match
+            # every face but are killed by the `better` merge below
+            sf = (packed == chunk_min[None, :]).astype(jnp.float32)
+            w0v = jnp.sum(sf * w0, axis=0)
+            w1v = jnp.sum(sf * w1, axis=0)
+            zv = jnp.sum(sf * zpix, axis=0)
+            idv = jnp.sum(sf * keybase, axis=0)
+            chunk_vals = jnp.stack(
+                [w0v, w1v, zv, idv,
+                 jnp.zeros_like(zv), jnp.zeros_like(zv),
+                 jnp.zeros_like(zv), jnp.zeros_like(zv)], axis=0
+            )  # (8, THW)
+            chunk_attrs = jax.lax.dot_general(
+                blk, sf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (32, THW); only attr rows 11-28 are consumed
+
+            better = chunk_min < pack  # (THW,)
+            pack = jnp.where(better, chunk_min, pack)
+            vals = jnp.where(better[None, :], chunk_vals, vals)
+            attrs = jnp.where(better[None, :], chunk_attrs, attrs)
+            return pack, vals, attrs
+
+        return jax.lax.cond(active_ref[act_base + c] > 0, do, lambda x: x, carry)
+
+    init = (
+        jnp.full((thw,), INT32_MAX, jnp.int32),
+        jnp.zeros((8, thw), jnp.float32),
+        jnp.zeros((32, thw), jnp.float32),
+    )
+    pack, vals, attrs = jax.lax.fori_loop(0, nc, chunk_body, init)
+
+    fg = (pack != INT32_MAX).astype(jnp.float32)
+    w0 = vals[0]
+    w1 = vals[1]
+    w2 = 1.0 - w0 - w1
+    z = vals[2]
+
+    out = [
+        z * fg,
+        fg,
+        vals[3],  # sorted face id (float, exact fp32)
+    ]
+    for a in range(3):
+        out.append(w0 * attrs[11 + a] + w1 * attrs[14 + a] + w2 * attrs[17 + a])
+    for a in range(3):
+        out.append(w0 * attrs[20 + a] + w1 * attrs[23 + a] + w2 * attrs[26 + a])
+    out += [w0 * fg, w1 * fg, w2 * fg]
+    out += [jnp.zeros_like(z)] * (16 - len(out))
+    out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
+
+
+def _kernel_shaded_v3(counts_ref, order_ref, tri_ref, out_ref, *, fc: int,
+                      th: int, tw: int, nc: int, id_mask: int):
+    """_kernel_shaded_v2 with a compacted active-chunk list.
+
+    v2 ran a lax.cond per (tile, chunk) over ALL nc chunks — at fine chunk
+    sizes the cond/dispatch overhead forced fc=512, which makes the
+    bbox-activity culling coarse (a 512-face chunk's bbox covers most of the
+    object).  Here the pack step compacts each tile's active chunk ids into
+    a scalar-prefetched list, so the kernel fori_loops over exactly the
+    active chunks (dynamic trip count, no conds) and fc can drop to 128 for
+    ~2x tighter culling at no dispatch cost.
+    """
+    n = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    tile = (n * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    pxf = px.reshape(1, th * tw)
+    pyf = py.reshape(1, th * tw)
+    thw = th * tw
+
+    def chunk_body(i, carry):
+        pack, vals, attrs = carry
+        c = order_ref[tile * nc + i]
+        start = pl.multiple_of(c * fc, 128)
+        blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
+        w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
+        w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
+        w2 = 1.0 - w0 - w1
+        zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
+        keybase = blk[9][:, None]
+        valid = blk[10][:, None] > 0.5
+        cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+        zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
+        packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
+        packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
+        chunk_min = jnp.min(packed, axis=0)  # (THW,)
+
+        sf = (packed == chunk_min[None, :]).astype(jnp.float32)
+        w0v = jnp.sum(sf * w0, axis=0)
+        w1v = jnp.sum(sf * w1, axis=0)
+        zv = jnp.sum(sf * zpix, axis=0)
+        idv = jnp.sum(sf * keybase, axis=0)
+        chunk_vals = jnp.stack(
+            [w0v, w1v, zv, idv,
+             jnp.zeros_like(zv), jnp.zeros_like(zv),
+             jnp.zeros_like(zv), jnp.zeros_like(zv)], axis=0
+        )  # (8, THW)
+        chunk_attrs = jax.lax.dot_general(
+            blk, sf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (32, THW)
+
+        better = chunk_min < pack
+        pack = jnp.where(better, chunk_min, pack)
+        vals = jnp.where(better[None, :], chunk_vals, vals)
+        attrs = jnp.where(better[None, :], chunk_attrs, attrs)
+        return pack, vals, attrs
+
+    init = (
+        jnp.full((thw,), INT32_MAX, jnp.int32),
+        jnp.zeros((8, thw), jnp.float32),
+        jnp.zeros((32, thw), jnp.float32),
+    )
+    m = counts_ref[tile]
+    pack, vals, attrs = jax.lax.fori_loop(0, m, chunk_body, init)
+
+    fg = (pack != INT32_MAX).astype(jnp.float32)
+    w0 = vals[0]
+    w1 = vals[1]
+    w2 = 1.0 - w0 - w1
+    z = vals[2]
+
+    out = [z * fg, fg, vals[3]]
+    for a in range(3):
+        out.append(w0 * attrs[11 + a] + w1 * attrs[14 + a] + w2 * attrs[17 + a])
+    for a in range(3):
+        out.append(w0 * attrs[20 + a] + w1 * attrs[23 + a] + w2 * attrs[26 + a])
+    out += [w0 * fg, w1 * fg, w2 * fg]
+    out += [jnp.zeros_like(z)] * (16 - len(out))
+    out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits",
+                              "interpret")
+)
+def rasterize_shaded_pallas_v3(
+    tri: jnp.ndarray,  # (N, 32, F) packed rows
+    active: jnp.ndarray,  # (N, TY, TX, NC) int32
+    h: int,
+    w: int,
+    th: int = 8,
+    tw: int = 128,
+    fc: int = 128,
+    id_bits: int = 11,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """v3: compacted active-chunk lists via scalar prefetch (see
+    _kernel_shaded_v3).  Same outputs as rasterize_shaded_pallas."""
+    n = tri.shape[0]
+    ty, tx = h // th, w // tw
+    nc = active.shape[-1]
+    # compact: per tile, active chunk ids first (stable order), plus count
+    order = jnp.argsort(-active, axis=-1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(active, axis=-1).astype(jnp.int32)
+    kern = functools.partial(
+        _kernel_shaded_v3, fc=fc, th=th, tw=tw, nc=nc,
+        id_mask=(1 << id_bits) - 1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 32, tri.shape[-1]), lambda i, j, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, th, tw), lambda i, j, k, *_: (i, 0, j, k)),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 16, h, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts.reshape(-1), order.reshape(-1), tri)
+
+
 def pack_faces_and_bin(
     tri_xy: jnp.ndarray,  # (N, F, 3, 2) screen-space corners
     tri_z: jnp.ndarray,  # (N, F, 3)
@@ -271,7 +499,8 @@ def pack_faces_and_bin(
     th: int,
     tw: int,
     fc: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    extra_cols: Optional[jnp.ndarray] = None,  # (N, E, F) sorted alongside
+):
     """XLA-side preprocessing: sort faces by projected tile for chunk
     coherence, pack per-face rows, and build the (tile, chunk) activity mask.
 
@@ -283,9 +512,12 @@ def pack_faces_and_bin(
     (|det| <= 1e-9) and the near-plane test (min corner z > 1e-6) fold into
     the valid row.
 
+    All per-face columns ride ONE stable `lax.sort` as payloads (a TPU
+    argsort + per-column take_along_axis gathers cost ~3x more).
+
     Returns (tri (N,16,F') rows [E0(3), E1(3), Z(3), sorted id, valid,
     0...], active (N,TY,TX,NC) int32, perm (N,F') sorted->original face
-    index).
+    index [, sorted extra_cols]).
     """
     n, f = face_valid.shape
     pad = (-f) % fc
@@ -297,6 +529,11 @@ def pack_faces_and_bin(
         face_valid = jnp.concatenate(
             [face_valid, jnp.zeros((n, pad), bool)], axis=1
         )
+        if extra_cols is not None:
+            extra_cols = jnp.concatenate(
+                [extra_cols, jnp.zeros((n, extra_cols.shape[1], pad),
+                                       extra_cols.dtype)], axis=2
+            )
         f += pad
     ty, tx = h // th, w // tw
 
@@ -305,40 +542,47 @@ def pack_faces_and_bin(
     ymin = tri_xy[..., 1].min(axis=2)
     ymax = tri_xy[..., 1].max(axis=2)
 
-    # sort by tile of the bbox center (y-major); invalid faces sort last
-    cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th
-    cx = jnp.clip((xmin + xmax) * 0.5, 0, w - 1) // tw
-    key = jnp.where(face_valid, cy * tx + cx, 1e9)
-    perm = jnp.argsort(key, axis=1).astype(jnp.int32)  # (N, F)
-
-    def take(a):
-        return jnp.take_along_axis(a, perm.reshape(n, f, *([1] * (a.ndim - 2))), axis=1)
-
-    tri_xy = take(tri_xy)
-    tri_z = take(tri_z)
-    face_valid = jnp.take_along_axis(face_valid, perm, axis=1)
-    xmin, xmax = take(xmin[..., None])[..., 0], take(xmax[..., None])[..., 0]
-    ymin, ymax = take(ymin[..., None])[..., 0], take(ymax[..., None])[..., 0]
-
     ax, ay = tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1]
     bx, by = tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1]
-    cx, cy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]
+    ccx, ccy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]
     z0, z1, z2 = tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2]
-    det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+    det = (by - ccy) * (ax - ccx) + (ccx - bx) * (ay - ccy)
     det_ok = jnp.abs(det) > 1e-9
     inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    e0x = (by - cy) * inv_det
-    e0y = (cx - bx) * inv_det
-    e0c = -(e0x * cx + e0y * cy)
-    e1x = (cy - ay) * inv_det
-    e1y = (ax - cx) * inv_det
-    e1c = -(e1x * cx + e1y * cy)
+    e0x = (by - ccy) * inv_det
+    e0y = (ccx - bx) * inv_det
+    e0c = -(e0x * ccx + e0y * ccy)
+    e1x = (ccy - ay) * inv_det
+    e1y = (ax - ccx) * inv_det
+    e1c = -(e1x * ccx + e1y * ccy)
     dz0, dz1 = z0 - z2, z1 - z2
     zx = e0x * dz0 + e1x * dz1
     zy = e0y * dz0 + e1y * dz1
     zc = z2 + e0c * dz0 + e1c * dz1
     front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
     valid_row = (face_valid & det_ok & front).astype(jnp.float32)
+
+    # sort by tile of the bbox center (y-major); invalid faces sort last
+    cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th
+    cx = jnp.clip((xmin + xmax) * 0.5, 0, w - 1) // tw
+    key = jnp.where(face_valid, cy * tx + cx, 1e9)
+    vb = jnp.where(face_valid, 1.0, 0.0)
+    big = jnp.float32(1e9)
+    cols = [
+        key, e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
+        jnp.where(face_valid, xmin, big), jnp.where(face_valid, xmax, -big),
+        jnp.where(face_valid, ymin, big), jnp.where(face_valid, ymax, -big),
+        jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0), vb,
+    ]
+    ne = 0
+    if extra_cols is not None:
+        ne = extra_cols.shape[1]
+        cols += [extra_cols[:, i] for i in range(ne)]
+    s = jax.lax.sort(cols, dimension=1, num_keys=1, is_stable=True)
+    (e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
+     xmin, xmax, ymin, ymax, orig_id, vb) = s[1:17]
+    perm = orig_id.astype(jnp.int32)
+
     rows = jnp.stack(
         [
             e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc,
@@ -349,12 +593,11 @@ def pack_faces_and_bin(
         axis=1,
     )  # (N, 16, F)
 
-    # chunk bboxes (invalid faces excluded via +-inf)
-    big = jnp.float32(1e9)
-    cxmin = jnp.where(face_valid, xmin, big).reshape(n, f // fc, fc).min(2)
-    cxmax = jnp.where(face_valid, xmax, -big).reshape(n, f // fc, fc).max(2)
-    cymin = jnp.where(face_valid, ymin, big).reshape(n, f // fc, fc).min(2)
-    cymax = jnp.where(face_valid, ymax, -big).reshape(n, f // fc, fc).max(2)
+    # chunk bboxes (invalid faces already pushed to +-inf pre-sort)
+    cxmin = xmin.reshape(n, f // fc, fc).min(2)
+    cxmax = xmax.reshape(n, f // fc, fc).max(2)
+    cymin = ymin.reshape(n, f // fc, fc).min(2)
+    cymax = ymax.reshape(n, f // fc, fc).max(2)
 
     tile_x0 = (jnp.arange(tx) * tw)[None, :, None]  # (1, TX, 1)
     tile_y0 = (jnp.arange(ty) * th)[None, :, None]  # (1, TY, 1)
@@ -363,6 +606,9 @@ def pack_faces_and_bin(
     active = (
         hit_y[:, :, None, :] & hit_x[:, None, :, :]
     ).astype(jnp.int32)  # (N, TY, TX, NC)
+    if extra_cols is not None:
+        sorted_extra = jnp.stack(s[17 : 17 + ne], axis=1)  # (N, E, F)
+        return rows, active, perm, sorted_extra
     return rows, active, perm
 
 
@@ -377,21 +623,19 @@ def pack_shaded_and_bin(
     tw: int,
     fc: int,
 ):
-    """pack_faces_and_bin + the corner attributes needed by _kernel_shaded.
+    """pack_faces_and_bin + the corner attributes needed by _kernel_shaded
+    (attribute columns ride the same lax.sort as payloads).
     Returns (rows (N, 32, F'), active, perm)."""
-    rows16, active, perm = pack_faces_and_bin(
-        tri_xy, tri_z, face_valid, h, w, th, tw, fc
-    )
-    n, f = perm.shape
-    ca = corner_attrs
-    pad = f - ca.shape[1]
-    if pad:
-        ca = jnp.concatenate([ca, jnp.zeros((n, pad, 3, 6), ca.dtype)], axis=1)
-    ca = jnp.take_along_axis(ca.reshape(n, f, 18), perm[..., None], axis=1)
+    n, f0 = face_valid.shape
+    ca = corner_attrs.reshape(n, f0, 3, 6)
     # rows 11-19 normals (corner-major), 20-28 colors
-    nrm = ca.reshape(n, f, 3, 6)[..., 0:3].reshape(n, f, 9)
-    col = ca.reshape(n, f, 3, 6)[..., 3:6].reshape(n, f, 9)
-    attr_rows = jnp.concatenate([nrm, col], axis=-1).transpose(0, 2, 1)  # (N,18,F)
+    nrm = ca[..., 0:3].reshape(n, f0, 9)
+    col = ca[..., 3:6].reshape(n, f0, 9)
+    attr_cols = jnp.concatenate([nrm, col], axis=-1).transpose(0, 2, 1)  # (N,18,F0)
+    rows16, active, perm, attr_rows = pack_faces_and_bin(
+        tri_xy, tri_z, face_valid, h, w, th, tw, fc, extra_cols=attr_cols
+    )
+    f = perm.shape[1]
     rows = jnp.concatenate(
         [rows16[:, :11], attr_rows, jnp.zeros((n, 3, f), jnp.float32)], axis=1
     )  # (N, 32, F)

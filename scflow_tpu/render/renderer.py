@@ -36,8 +36,7 @@ def _render_pallas(
 
     from scflow_tpu.ops.pallas.rasterize import (
         pack_shaded_and_bin,
-        pick_face_chunk,
-        rasterize_shaded_pallas,
+        rasterize_shaded_pallas_v3,
     )
     from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
     from scflow_tpu.render.shading import phong_lighting
@@ -53,14 +52,15 @@ def _render_pallas(
         ],
         axis=2,
     )  # (N, F, 3, 6)
-    th = 8 if h % 8 == 0 else h
-    tw = 128 if w % 128 == 0 else w
-    fc = pick_face_chunk(faces.shape[1])
+    th, tw = 8, 128
+    # fc=128 with the v3 compacted-active-list kernel: fine chunk bboxes cut
+    # the per-tile coverage work ~2x vs fc=512 (the v2 cond-per-chunk floor)
+    fc = min(128, ((faces.shape[1] + 127) // 128) * 128)
     rows, active, perm = pack_shaded_and_bin(
         tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
     )
     id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
-    maps = rasterize_shaded_pallas(
+    maps = rasterize_shaded_pallas_v3(
         rows, active, h, w, th=th, tw=tw, fc=fc, id_bits=id_bits
     )  # (N, 16, H, W)
     depths = maps[:, 0]

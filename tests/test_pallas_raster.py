@@ -15,6 +15,7 @@ from scflow_tpu.ops.pallas.rasterize import (
     pick_face_chunk,
     rasterize_packed_pallas,
     rasterize_shaded_pallas,
+    rasterize_shaded_pallas_v3,
 )
 from scflow_tpu.render.meshbank import make_synthetic_bank
 from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen, rasterize
@@ -124,3 +125,32 @@ def test_shaded_kernel_matches_xla_render(scene):
     # barycentrics sum to 1 on foreground
     bsum = np.asarray(maps[:, 9] + maps[:, 10] + maps[:, 11])
     np.testing.assert_allclose(bsum[got_mask], 1.0, atol=1e-3)
+
+
+def test_shaded_v3_matches_v1(scene):
+    """The compacted-active-list value-carry kernel (v3, fc=128) produces
+    the same fragment maps as the original shaded kernel (measured
+    bit-identical on TPU; interpret mode here)."""
+    img = scene["img"]
+    attr6 = jnp.concatenate([scene["normals_cam"], scene["colors"]], axis=-1)
+    corner_attrs = jnp.stack(
+        [jnp.take_along_axis(attr6, scene["faces"][:, :, j][..., None], axis=1)
+         for j in range(3)],
+        axis=2,
+    )
+    xy, z = project_to_screen(scene["verts_cam"], scene["K"])
+    tri_xy, tri_z = _gather_tri(xy, z, scene["faces"])
+    fc = 128
+    rows, active, perm = pack_shaded_and_bin(
+        tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img, 8, 128, fc
+    )
+    id_bits = max(1, math.ceil(math.log2(max(rows.shape[-1], 2))))
+    v1 = rasterize_shaded_pallas(
+        rows, active, img, img, th=8, tw=128, fc=fc, id_bits=id_bits,
+        interpret=True, version=1,
+    )
+    v3 = rasterize_shaded_pallas_v3(
+        rows, active, img, img, th=8, tw=128, fc=fc, id_bits=id_bits,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v1), atol=1e-4)
