@@ -43,11 +43,14 @@ class InstanceNorm(nn.Module):
         # 'fast variance'): jnp.var re-reads x after the mean reduction,
         # an extra HBM pass over every 128^2 feature map — this form lets
         # XLA fuse both moments into one read (encoder -22% on v5e; same
-        # distance from the fp64 oracle at activation scales, ~9e-7)
-        mean = x.mean(axis=(1, 2), keepdims=True)
-        sq = (x * x).mean(axis=(1, 2), keepdims=True)
+        # distance from the fp64 oracle at activation scales, ~9e-7).
+        # Stats always accumulate in fp32: a bf16 mean over 16k pixels
+        # loses most of its mantissa (the upcast fuses into the reduce).
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        sq = (xf * xf).mean(axis=(1, 2), keepdims=True)
         var = jnp.maximum(sq - mean * mean, 0.0)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,))
