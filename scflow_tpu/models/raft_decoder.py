@@ -14,7 +14,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
-from scflow_tpu.ops.corr import corr_lookup_dispatch, correlation_pyramid
+from scflow_tpu.ops.corr import (
+    corr_lookup_dispatch,
+    correlation_pyramid,
+    correlation_pyramid_flat,
+    resolve_lookup_backend,
+)
 from scflow_tpu.ops.resize import interpolate_bilinear
 from scflow_tpu.ops.upsample import convex_upsample
 from scflow_tpu.registry import DECODERS
@@ -57,10 +62,15 @@ class RAFTDecoder(nn.Module):
         lookup_backend: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
-        lookup_backend = lookup_backend or self.lookup_backend
+        lookup_backend = resolve_lookup_backend(
+            lookup_backend or self.lookup_backend
+        )
         scale = 2 ** (self.num_levels - 1)
-        pyramid = correlation_pyramid(feat1, feat2, self.num_levels,
-                                      out_dtype=self.dtype)
+        square = feat1.shape[1] == feat1.shape[2]
+        pyr_fn = (correlation_pyramid_flat
+                  if lookup_backend == "pallas" and square
+                  else correlation_pyramid)
+        pyramid = pyr_fn(feat1, feat2, self.num_levels, out_dtype=self.dtype)
 
         motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
                                    name="encoder")

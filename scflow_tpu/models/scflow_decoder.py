@@ -45,7 +45,12 @@ from scflow_tpu.geometry.se3 import apply_delta_pose
 from scflow_tpu.models.layers import ConvModule
 from scflow_tpu.models.motion import ConvGRU, MotionEncoder, XHead
 from scflow_tpu.models.pose_head import MultiClassPoseHead, SingleClassPoseHead
-from scflow_tpu.ops.corr import corr_lookup_dispatch, correlation_pyramid
+from scflow_tpu.ops.corr import (
+    corr_lookup_dispatch,
+    correlation_pyramid,
+    correlation_pyramid_flat,
+    resolve_lookup_backend,
+)
 from scflow_tpu.ops.resize import interp_taps, interpolate_bilinear
 from scflow_tpu.registry import DECODERS
 
@@ -266,9 +271,15 @@ class SCFlowDecoder(nn.Module):
         scale = 2 ** (self.num_levels - 1)
         n, img_h, img_w = depth.shape
 
+        # the pallas lookup consumes lane-dense flat maps directly (no
+        # per-iteration relayout); the XLA tent path keeps (B, S, S, 1)
+        backend = resolve_lookup_backend(lookup_backend or self.lookup_backend)
+        square = feat_render.shape[1] == feat_render.shape[2]
+        pyr_fn = (correlation_pyramid_flat if backend == "pallas" and square
+                  else correlation_pyramid)
         pyramid = tuple(
-            correlation_pyramid(feat_render, feat_real, self.num_levels,
-                                out_dtype=self.dtype)
+            pyr_fn(feat_render, feat_real, self.num_levels,
+                   out_dtype=self.dtype)
         )
 
         # dense lift of the rendered depth under the reference pose (once)

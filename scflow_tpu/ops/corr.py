@@ -12,9 +12,12 @@ exactly — it is load-bearing for torch checkpoint conversion, because the
 motion encoder's first conv consumes these channels.
 """
 
+import functools
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scflow_tpu.ops.resize import avg_pool2
 from scflow_tpu.ops.sampling import sample_at_pixels
@@ -39,6 +42,48 @@ def correlation_pyramid(
     pyramid = [corr]
     for _ in range(num_levels - 1):
         pyramid.append(avg_pool2(pyramid[-1]))
+    return pyramid
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(h: int, w: int) -> np.ndarray:
+    """(h*w, (h/2)*(w/2)) one-hot*0.25 matrix: 2x2 avg-pool as a matmul on
+    the flat (B, H*W) layout."""
+    P = np.zeros((h * w, (h // 2) * (w // 2)), np.float32)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    P[ys.ravel() * w + xs.ravel(),
+      (ys.ravel() // 2) * (w // 2) + xs.ravel() // 2] = 0.25
+    return P
+
+
+def correlation_pyramid_flat(
+    feat1: jnp.ndarray, feat2: jnp.ndarray, num_levels: int = 4,
+    out_dtype=None,
+) -> List[jnp.ndarray]:
+    """correlation_pyramid in the FLAT layout: level l is (N*H*W, Sl*Sl).
+
+    The (B, S, S, 1) layout stores a 1-wide lane dimension (pads to 128 on
+    TPU) and every Pallas lookup re-flattens it — a relayout copy per GRU
+    iteration.  Here the maps are lane-dense from birth and the avg-pool
+    levels are (B, S^2) x pool-matrix matmuls (Precision.HIGH: ~2e-5 of
+    the exact pool, 1.6x faster than HIGHEST).  Feeds
+    corr_lookup_pallas_flat directly."""
+    n, h, w, c = feat1.shape
+    f1 = feat1.reshape(n, h * w, c)
+    f2 = feat2.reshape(n, h * w, c)
+    corr = jnp.einsum("nsc,ntc->nst", f1, f2, preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    if out_dtype is not None:
+        corr = corr.astype(out_dtype)
+    pyramid = [corr.reshape(n * h * w, h * w)]
+    hl, wl = h, w
+    for _ in range(num_levels - 1):
+        pyramid.append(
+            jax.lax.dot(pyramid[-1], jnp.asarray(_pool_matrix(hl, wl)).astype(
+                pyramid[-1].dtype), precision=jax.lax.Precision.HIGH)
+        )
+        hl //= 2
+        wl //= 2
     return pyramid
 
 
@@ -135,24 +180,33 @@ def corr_lookup(
     return jnp.concatenate(outs, axis=-1).reshape(n, h, w, len(pyramid) * k * k)
 
 
+def resolve_lookup_backend(name: str) -> str:
+    """'auto' -> 'pallas' on TPU, 'xla' elsewhere."""
+    if name == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return name
+
+
 def corr_lookup_dispatch(
     pyramid: Sequence[jnp.ndarray], flow: jnp.ndarray, radius: int = 4,
     backend: str = "xla",
 ) -> jnp.ndarray:
-    """Backend-selectable lookup: 'xla' = tent-matmul einsums (above,
-    differentiable — the training default), 'pallas' = the fused kernel
-    (ops/pallas/corr_lookup.py) writing (B, L*k^2) directly — ~2x faster on
-    v5e and *closer* to the fp64 oracle than the XLA path (both are
-    MXU-bf16-rounded; measured rel err 4.0e-3 vs 6.3e-3), forward-only.
+    """Backend-selectable lookup: 'xla' = tent-matmul einsums (above),
+    'pallas' = the fused kernel (ops/pallas/corr_lookup.py) writing
+    (B, L*k^2) directly — ~2x faster on v5e and *closer* to the fp64
+    oracle than the XLA path (both are MXU-bf16-rounded; measured rel err
+    4.0e-3 vs 6.3e-3).  Both are differentiable (the pallas path carries
+    a custom VJP whose backward is the XLA tent formulation).
     'auto' resolves to pallas on TPU, xla elsewhere."""
-    if backend == "auto":
-        import jax
-
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = resolve_lookup_backend(backend)
+    if backend == "pallas" and any(
+        m.ndim == 4 and m.shape[1] != m.shape[2] for m in pyramid
+    ):
+        backend = "xla"  # the fused kernel's index math assumes square maps
     if backend == "pallas":
-        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas_diff
 
-        return corr_lookup_pallas(list(pyramid), flow, radius)
+        return corr_lookup_pallas_diff(tuple(pyramid), flow, radius)
     if backend == "xla":
         return corr_lookup(list(pyramid), flow, radius)
     raise KeyError(f"unknown corr-lookup backend {backend!r}")

@@ -126,6 +126,81 @@ def corr_lookup_pallas_flat(
     )(coords, *pyramid_flat)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def corr_lookup_pallas_diff(
+    pyramid: tuple,  # level l: (N*H*W, Sl, Sl, 1)
+    flow: jnp.ndarray,  # (N, H, W, 2)
+    radius: int = 4,
+    bb: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas kernel forward, XLA tent-formulation
+    backward (the kernel itself has no transpose rule).  Gradients match
+    the autodiff of ops.corr.corr_lookup: tent subgradient 0 at the kinks,
+    per-level 1/2^l chain factor onto the flow."""
+    return corr_lookup_pallas(list(pyramid), flow, radius, bb=bb,
+                              interpret=interpret)
+
+
+def _lookup_fwd(pyramid, flow, radius, bb, interpret):
+    out = corr_lookup_pallas_diff(pyramid, flow, radius, bb, interpret)
+    return out, (tuple(pyramid), flow)
+
+
+def _lookup_bwd(radius, bb, interpret, res, g):
+    pyramid, flow = res
+    n, h, w, _ = flow.shape
+    k = 2 * radius + 1
+    b = n * h * w
+    ys = jnp.arange(h, dtype=flow.dtype)
+    xs = jnp.arange(w, dtype=flow.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    cx = (gx[None] + flow[..., 0]).reshape(b)
+    cy = (gy[None] + flow[..., 1]).reshape(b)
+    offs = jnp.arange(-radius, radius + 1, dtype=flow.dtype)
+    g = g.reshape(b, len(pyramid), k, k)  # [..., j, i]: j offsets x, i y
+
+    grad_pyr = []
+    gfx = jnp.zeros((b,), flow.dtype)
+    gfy = jnp.zeros((b,), flow.dtype)
+    for lvl, corr in enumerate(pyramid):
+        in_shape = corr.shape
+        if corr.ndim == 2:  # flat (B, S*S) level
+            s = int(round(corr.shape[1] ** 0.5))
+            corr = corr.reshape(corr.shape[0], s, s, 1)
+        hl, wl = corr.shape[1], corr.shape[2]
+        inv = 1.0 / 2.0**lvl
+        px = cx * inv
+        py = cy * inv
+        jx = jnp.arange(wl, dtype=flow.dtype)
+        jy = jnp.arange(hl, dtype=flow.dtype)
+        ux = px[:, None, None] + offs[None, :, None] - jx[None, None, :]
+        uy = py[:, None, None] + offs[None, :, None] - jy[None, None, :]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))  # (B, k, Wl)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))  # (B, k, Hl)
+        dwx = jnp.where(jnp.abs(ux) < 1.0, -jnp.sign(ux), 0.0)
+        dwy = jnp.where(jnp.abs(uy) < 1.0, -jnp.sign(uy), 0.0)
+        gl = g[:, lvl]  # (B, j, i)
+        m = corr[..., 0]  # (B, Hl, Wl)
+
+        a = jnp.einsum("bji,bjw->biw", gl, wx)
+        grad_m = jnp.einsum("bih,biw->bhw", wy, a)
+        grad_pyr.append(grad_m[..., None].astype(corr.dtype).reshape(in_shape))
+
+        t2 = jnp.einsum("bih,bhw->biw", wy, m.astype(flow.dtype))
+        gpx = jnp.einsum("bji,bjw,biw->b", gl, dwx, t2)
+        t3 = jnp.einsum("bjw,bhw->bjh", wx, m.astype(flow.dtype))
+        gpy = jnp.einsum("bji,bih,bjh->b", gl, dwy, t3)
+        gfx = gfx + gpx * inv
+        gfy = gfy + gpy * inv
+
+    grad_flow = jnp.stack([gfx, gfy], axis=-1).reshape(n, h, w, 2)
+    return tuple(grad_pyr), grad_flow
+
+
+corr_lookup_pallas_diff.defvjp(_lookup_fwd, _lookup_bwd)
+
+
 def corr_lookup_pallas(
     pyramid: Sequence[jnp.ndarray],  # level l: (N*H*W, Sl, Sl, 1)
     flow: jnp.ndarray,  # (N, H, W, 2) at feature resolution
@@ -134,7 +209,9 @@ def corr_lookup_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.corr.corr_lookup with the same (N, H, W, L*k^2)
-    output; see module docstring."""
+    output; see module docstring.  Accepts pyramid levels as either
+    (B, Sl, Sl, 1) or lane-dense flat (B, Sl*Sl) (correlation_pyramid_flat
+    — avoids a relayout copy per call)."""
     n, h, w, _ = flow.shape
     k = 2 * radius + 1
     b = n * h * w
@@ -145,7 +222,7 @@ def corr_lookup_pallas(
     cx = (gx[None] + flow[..., 0]).reshape(b)
     cy = (gy[None] + flow[..., 1]).reshape(b)
     coords = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)
-    flat = [m.reshape(b, -1) for m in pyramid]
+    flat = [m if m.ndim == 2 else m.reshape(b, -1) for m in pyramid]
     pad = (-b) % bb
     if pad:
         coords = jnp.pad(coords, ((0, pad), (0, 0)))

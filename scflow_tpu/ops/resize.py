@@ -69,5 +69,11 @@ def interpolate_bilinear(x: jnp.ndarray, scale: float) -> jnp.ndarray:
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 average pool, NHWC (torch nn.AvgPool2d(2, 2))."""
     n, h, w, c = x.shape
+    if h < 2 or w < 2:
+        raise ValueError(
+            f"avg_pool2 needs h, w >= 2, got {(h, w)} — with a 4-level "
+            "correlation pyramid the crop must be at least 64px per side "
+            "(feature maps are 1/8 scale and halve per level)"
+        )
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return x.mean(axis=(2, 4))

@@ -146,6 +146,59 @@ class TestCorrelation:
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_flat_pyramid_matches_4d(self, rng):
+        """correlation_pyramid_flat (lane-dense levels, matmul pooling)
+        numerically matches the (B, S, S, 1) pyramid, and the Pallas lookup
+        consumes the flat levels directly."""
+        from scflow_tpu.ops.corr import correlation_pyramid_flat
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+        n, h, w, c = 2, 8, 8, 16
+        f1 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        flow = jnp.asarray(rng.normal(size=(n, h, w, 2)).astype(np.float32) * 2)
+        pyr4 = correlation_pyramid(f1, f2, 3)
+        pyrf = correlation_pyramid_flat(f1, f2, 3)
+        for a, b in zip(pyr4, pyrf):
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(b.shape), np.asarray(b), atol=1e-4
+            )
+        want = np.asarray(
+            corr_lookup_pallas(pyr4, flow, radius=2, interpret=True)
+        )
+        got = np.asarray(
+            corr_lookup_pallas(pyrf, flow, radius=2, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pallas_lookup_gradients_match_xla(self, rng):
+        """The custom VJP (XLA tent-formulation backward) matches autodiff
+        of the XLA lookup for both the correlation maps and the flow."""
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas_diff
+
+        n, h, w, c = 2, 8, 8, 16
+        f1 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        f2 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        flow = rng.normal(size=(n, h, w, 2)).astype(np.float32) * 2
+        pyr = tuple(correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 2))
+        wgt = jnp.asarray(rng.normal(size=(n, h, w, 2 * 25)).astype(np.float32))
+
+        def loss_xla(pyr, fl):
+            return jnp.sum(corr_lookup(list(pyr), fl, 2) * wgt)
+
+        def loss_pls(pyr, fl):
+            return jnp.sum(
+                corr_lookup_pallas_diff(pyr, fl, 2, 256, True) * wgt
+            )
+
+        gp_x, gf_x = jax.grad(loss_xla, argnums=(0, 1))(pyr, jnp.asarray(flow))
+        gp_p, gf_p = jax.grad(loss_pls, argnums=(0, 1))(pyr, jnp.asarray(flow))
+        for a, b in zip(gp_x, gp_p):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                                   atol=1e-3, rtol=1e-4)
+
 
 class TestConvexUpsample:
     def test_vs_torch_unfold(self, rng):
