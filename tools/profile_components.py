@@ -11,14 +11,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force a host fetch: on the remote-TPU (axon) backend
+    jax.block_until_ready does not reliably wait — only a value fetch
+    drains the dispatch queue."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
 def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n
 
 
