@@ -21,6 +21,21 @@ import numpy as np
 
 from scflow_tpu.ops.resize import avg_pool2
 from scflow_tpu.ops.sampling import sample_at_pixels
+from scflow_tpu.utils.platform import resolve_backend as resolve_lookup_backend
+
+
+def _all_pairs_correlation(feat1, feat2, out_dtype):
+    """(N, H, W, C) x2 -> (N, H*W, H*W) normalized by sqrt(C) — the shared
+    prologue of both pyramid layouts (the /sqrt(C) convention is
+    load-bearing for torch checkpoint parity)."""
+    n, h, w, c = feat1.shape
+    f1 = feat1.reshape(n, h * w, c)
+    f2 = feat2.reshape(n, h * w, c)
+    corr = jnp.einsum("nsc,ntc->nst", f1, f2, preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    if out_dtype is not None:
+        corr = corr.astype(out_dtype)
+    return corr
 
 
 def correlation_pyramid(
@@ -32,12 +47,7 @@ def correlation_pyramid(
     corr[n, s, y, x] = <feat1[n, s/W, s%W, :], feat2[n, y, x, :]> / sqrt(C)
     """
     n, h, w, c = feat1.shape
-    f1 = feat1.reshape(n, h * w, c)
-    f2 = feat2.reshape(n, h * w, c)
-    corr = jnp.einsum("nsc,ntc->nst", f1, f2, preferred_element_type=jnp.float32)
-    corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
-    if out_dtype is not None:
-        corr = corr.astype(out_dtype)
+    corr = _all_pairs_correlation(feat1, feat2, out_dtype)
     corr = corr.reshape(n * h * w, h, w, 1)
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -49,6 +59,12 @@ def correlation_pyramid(
 def _pool_matrix(h: int, w: int) -> np.ndarray:
     """(h*w, (h/2)*(w/2)) one-hot*0.25 matrix: 2x2 avg-pool as a matmul on
     the flat (B, H*W) layout."""
+    if h < 2 or w < 2 or h % 2 or w % 2:
+        raise ValueError(
+            f"flat pyramid pooling needs even h, w >= 2, got {(h, w)} — "
+            "with a 4-level correlation pyramid the crop must be at least "
+            "64px per side and divisible by 64"
+        )
     P = np.zeros((h * w, (h // 2) * (w // 2)), np.float32)
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     P[ys.ravel() * w + xs.ravel(),
@@ -69,12 +85,7 @@ def correlation_pyramid_flat(
     the exact pool, 1.6x faster than HIGHEST).  Feeds
     corr_lookup_pallas_flat directly."""
     n, h, w, c = feat1.shape
-    f1 = feat1.reshape(n, h * w, c)
-    f2 = feat2.reshape(n, h * w, c)
-    corr = jnp.einsum("nsc,ntc->nst", f1, f2, preferred_element_type=jnp.float32)
-    corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
-    if out_dtype is not None:
-        corr = corr.astype(out_dtype)
+    corr = _all_pairs_correlation(feat1, feat2, out_dtype)
     pyramid = [corr.reshape(n * h * w, h * w)]
     hl, wl = h, w
     for _ in range(num_levels - 1):
@@ -180,11 +191,6 @@ def corr_lookup(
     return jnp.concatenate(outs, axis=-1).reshape(n, h, w, len(pyramid) * k * k)
 
 
-def resolve_lookup_backend(name: str) -> str:
-    """'auto' -> 'pallas' on TPU, 'xla' elsewhere."""
-    if name == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return name
 
 
 def corr_lookup_dispatch(

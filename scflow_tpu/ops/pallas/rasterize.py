@@ -566,13 +566,12 @@ def pack_faces_and_bin(
     cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th
     cx = jnp.clip((xmin + xmax) * 0.5, 0, w - 1) // tw
     key = jnp.where(face_valid, cy * tx + cx, 1e9)
-    vb = jnp.where(face_valid, 1.0, 0.0)
     big = jnp.float32(1e9)
     cols = [
         key, e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
         jnp.where(face_valid, xmin, big), jnp.where(face_valid, xmax, -big),
         jnp.where(face_valid, ymin, big), jnp.where(face_valid, ymax, -big),
-        jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0), vb,
+        jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0),
     ]
     ne = 0
     if extra_cols is not None:
@@ -580,7 +579,7 @@ def pack_faces_and_bin(
         cols += [extra_cols[:, i] for i in range(ne)]
     s = jax.lax.sort(cols, dimension=1, num_keys=1, is_stable=True)
     (e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
-     xmin, xmax, ymin, ymax, orig_id, vb) = s[1:17]
+     xmin, xmax, ymin, ymax, orig_id) = s[1:16]
     perm = orig_id.astype(jnp.int32)
 
     rows = jnp.stack(
@@ -607,7 +606,7 @@ def pack_faces_and_bin(
         hit_y[:, :, None, :] & hit_x[:, None, :, :]
     ).astype(jnp.int32)  # (N, TY, TX, NC)
     if extra_cols is not None:
-        sorted_extra = jnp.stack(s[17 : 17 + ne], axis=1)  # (N, E, F)
+        sorted_extra = jnp.stack(s[16 : 16 + ne], axis=1)  # (N, E, F)
         return rows, active, perm, sorted_extra
     return rows, active, perm
 

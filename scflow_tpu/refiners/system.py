@@ -18,6 +18,7 @@ from scflow_tpu.losses.basic import l1_loss, raft_loss
 from scflow_tpu.losses.point_matching import disentangle_point_matching_loss
 from scflow_tpu.render.renderer import render_batch
 from scflow_tpu.runtime.train_state import TrainState
+from scflow_tpu.utils.platform import resolve_backend
 
 
 class LossAssets(NamedTuple):
@@ -67,12 +68,6 @@ def loss_assets_from_bank(bank, symmetry_types: dict, mesh_diameter=None) -> Los
     )
 
 
-def resolve_backend(name: str) -> str:
-    """'auto' -> 'pallas' on TPU, 'xla' elsewhere (CPU runs the Pallas
-    kernels only in interpret mode, which is test-only)."""
-    if name == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return name
 
 
 def render_and_normalize(
@@ -294,7 +289,7 @@ def make_raft_train_step(
             _, gt_depths, _ = render_and_normalize(
                 render_assets, batch["gt_rotations"], batch["gt_translations"],
                 batch["k"], batch["labels"], image_size, norm_mean, norm_std,
-                chunk=render_chunk,
+                chunk=render_chunk, backend=render_backend,
             )
             gt_flow = filter_flow_by_depth(gt_flow, gt_depths, rendered_depths, max_flow)
         gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)

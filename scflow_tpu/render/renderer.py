@@ -54,8 +54,9 @@ def _render_pallas(
     )  # (N, F, 3, 6)
     th, tw = 8, 128
     # fc=128 with the v3 compacted-active-list kernel: fine chunk bboxes cut
-    # the per-tile coverage work ~2x vs fc=512 (the v2 cond-per-chunk floor)
-    fc = min(128, ((faces.shape[1] + 127) // 128) * 128)
+    # the per-tile coverage work ~2x vs fc=512 (the v2 cond-per-chunk floor);
+    # chunk starts must be 128-lane aligned so this is also the minimum
+    fc = 128
     rows, active, perm = pack_shaded_and_bin(
         tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
     )
@@ -99,11 +100,14 @@ def render_batch(
     w: int,
     chunk: int = 64,
     flat_shading: bool = False,
-    backend: str = "xla",  # 'xla' | 'pallas' (fused TPU raster+shade kernel)
+    backend: str = "xla",  # 'xla' | 'pallas' (fused kernel) | 'auto'
     shading: str = "phong",  # 'phong' | 'flat' | 'gouraud' (xla backend)
     seperate_lights: bool = True,
     default_lights: bool = True,
 ) -> Dict[str, jnp.ndarray]:
+    from scflow_tpu.utils.platform import resolve_backend
+
+    backend = resolve_backend(backend)
     labels = labels.astype(jnp.int32)
     verts = jnp.take(bank_verts, labels, axis=0)  # (N, V, 3)
     faces = jnp.take(bank_faces, labels, axis=0)

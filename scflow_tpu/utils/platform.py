@@ -8,6 +8,17 @@ JAX_PLATFORMS=cpu for CI) is honored again."""
 import os
 
 
+def resolve_backend(name: str) -> str:
+    """Kernel-backend auto-selection, shared by the renderer and the corr
+    lookup: 'auto' -> 'pallas' on TPU, 'xla' elsewhere (the Pallas kernels
+    run on CPU only in interpret mode, which is test-only)."""
+    if name == "auto":
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return name
+
+
 def apply_env_platform():
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
