@@ -13,7 +13,8 @@ def _ocp():
 
 
 class CheckpointManager:
-    def __init__(self, work_dir: str, max_to_keep: int = 5):
+    def __init__(self, work_dir: str, max_to_keep: int = 5,
+                 async_save: bool = True):
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         ocp = _ocp()
@@ -24,8 +25,14 @@ class CheckpointManager:
             ),
         )
         self._best_path = os.path.join(self.work_dir, "best.json")
+        self.async_save = async_save
 
     def save(self, step: int, state, extra: Optional[Dict[str, Any]] = None):
+        """Write a full-train-state checkpoint.  async_save (default): the
+        orbax background commit overlaps with training (SURVEY.md §5 —
+        preemption recovery without stalling the step loop); orbax
+        serializes concurrent saves internally and `wait()` / the next
+        restore provide the barrier."""
         ocp = _ocp()
         payload = {
             "params": state.params,
@@ -35,13 +42,21 @@ class CheckpointManager:
         if state.batch_stats is not None:
             payload["batch_stats"] = state.batch_stats
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Block until any in-flight async save commits (call before
+        process exit and before reading checkpoints back)."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state, step: Optional[int] = None):
         ocp = _ocp()
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return state, 0

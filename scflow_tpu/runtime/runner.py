@@ -109,6 +109,7 @@ class CheckpointHook(Hook):
     def after_run(self, runner):
         if runner.ckpt_manager is not None:
             runner.ckpt_manager.save(runner.step, runner.state)
+            runner.ckpt_manager.wait()  # commit before process exit
 
 
 class EvalHook(Hook):
