@@ -194,3 +194,76 @@ class TestCycledInfer:
             np.asarray(out["rotations"]), np.asarray(batch["ref_rotations"]),
             atol=1e-4,
         )
+
+
+class TestCheckpointAsync:
+    def test_async_save_restore_roundtrip(self, setup, tmp_path):
+        """Async orbax save (no inline wait) must still restore exactly
+        after wait(): the runner's after_run barrier is what commits the
+        last checkpoint before process exit."""
+        from scflow_tpu.runtime import TrainState, build_optimizer
+        from scflow_tpu.runtime.checkpoint import CheckpointManager
+
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-3, weight_decay=1e-4), None
+        )
+        state = TrainState.create(
+            variables["params"], tx, variables.get("batch_stats")
+        )
+        mgr = CheckpointManager(str(tmp_path), async_save=True)
+        mgr.save(7, state)
+        mgr.wait()
+        template = TrainState.create(
+            jax.tree_util.tree_map(np.zeros_like, variables["params"]), tx,
+            variables.get("batch_stats"),
+        )
+        restored, step = mgr.restore(template)
+        assert step == 7
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_restore_waits_on_inflight_save(self, setup, tmp_path):
+        """restore()/latest_step() immediately after an async save must see
+        the just-written step (the internal wait barrier)."""
+        from scflow_tpu.runtime import TrainState, build_optimizer
+        from scflow_tpu.runtime.checkpoint import CheckpointManager
+
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-3, weight_decay=1e-4), None
+        )
+        state = TrainState.create(
+            variables["params"], tx, variables.get("batch_stats")
+        )
+        mgr = CheckpointManager(str(tmp_path), async_save=True)
+        mgr.save(3, state)  # no explicit wait
+        assert mgr.latest_step() == 3
+
+
+class TestBackendResolution:
+    def test_auto_resolves_off_tpu(self):
+        from scflow_tpu.utils.platform import resolve_backend
+
+        assert resolve_backend("auto") == "xla"  # tests run on CPU
+        assert resolve_backend("pallas") == "pallas"
+        assert resolve_backend("xla") == "xla"
+
+
+class TestInstanceNormBF16:
+    def test_bf16_stats_match_fp32(self):
+        """IN statistics accumulate in fp32 even for bf16 activations —
+        output matches the fp32 path to bf16 resolution."""
+        from scflow_tpu.models.layers import InstanceNorm
+
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=(2, 32, 32, 8)) * 1.3 + 0.7).astype(np.float32)
+        m = InstanceNorm()
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        ref = np.asarray(m.apply(v, jnp.asarray(x)))
+        out = np.asarray(
+            m.apply(v, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-2)
