@@ -18,11 +18,20 @@ from scflow_tpu.geometry.host import remap_pose_to_origin_resolution
 from scflow_tpu.utils.logging import get_logger
 
 
-def _bucket(n: int, max_bucket: int = 64) -> int:
+def _bucket(n: int, max_bucket: int = 64, fixed: bool = False) -> int:
+    """Padded object count for a batch of n patches.  fixed=True always
+    pads to max_bucket: ONE jit specialization instead of up to
+    log2(max_bucket) — the right trade when compiles are slow relative to
+    the wasted padded compute (e.g. the remote TPU compiler at minutes per
+    specialization vs ~0.1 s/img of padding overhead)."""
     b = 1
     while b < n:
         b *= 2
-    return min(b, max_bucket)
+    if fixed:
+        # a crowd beyond max_bucket still gets a (rare) bigger bucket
+        # rather than a negative pad
+        return max(max_bucket, b)
+    return max(min(b, max_bucket), n)
 
 
 def pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
@@ -45,6 +54,7 @@ def single_process_test(
     dataset,
     pose_from_output: Optional[Callable] = None,
     max_bucket: int = 64,
+    fixed_bucket: bool = False,
     progress_interval: int = 50,
     logger=None,
     process_index: int = 0,
@@ -67,7 +77,7 @@ def single_process_test(
         metas = batch.pop("img_metas")
         batch.pop("per_img_patch_num")
         n = batch["labels"].shape[0]
-        padded = pad_batch(batch, _bucket(n, max_bucket))
+        padded = pad_batch(batch, _bucket(n, max_bucket, fixed_bucket))
         t0 = time.perf_counter()
         out = infer_fn(variables, padded)
         out = jax.device_get(out)

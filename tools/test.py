@@ -75,9 +75,12 @@ def main():
     infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
                                                   image_size)
     t0 = time.perf_counter()
+    test_cfg = cfg.model.get("test_cfg", {})
     results = multi_process_test(
         variables, infer, dataset, pose_from_output=pose_from_output,
         logger=logger,
+        max_bucket=test_cfg.get("max_bucket", 64),
+        fixed_bucket=test_cfg.get("fixed_bucket", False),
     )
     total = time.perf_counter() - t0
     logger.info(f"{len(results)} images in {total:.1f}s "
