@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from scflow_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from scflow_tpu.refiners import SCFlowRefiner
     from scflow_tpu.refiners.system import RenderAssets, make_scflow_infer_fn
     from scflow_tpu.render.meshbank import make_synthetic_bank

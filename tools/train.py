@@ -16,9 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scflow_tpu.utils.platform import apply_env_platform
+from scflow_tpu.utils.platform import (apply_env_platform,
+                                       enable_compilation_cache)
 
 apply_env_platform()
+enable_compilation_cache()
 
 import jax
 import numpy as np
