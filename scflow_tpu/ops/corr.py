@@ -214,7 +214,20 @@ def corr_lookup_dispatch(
 
         return corr_lookup_pallas_diff(tuple(pyramid), flow, radius)
     if backend == "xla":
-        return corr_lookup(list(pyramid), flow, radius)
+        # accept flat (B, S*S) levels too (correlation_pyramid_flat), so the
+        # dispatch is layout-agnostic regardless of which backend built the
+        # pyramid
+        levels = []
+        for m in pyramid:
+            if m.ndim == 2:
+                s = int(round(m.shape[1] ** 0.5))
+                if s * s != m.shape[1]:
+                    raise ValueError(
+                        f"flat pyramid level has non-square size {m.shape[1]}"
+                    )
+                m = m.reshape(m.shape[0], s, s, 1)
+            levels.append(m)
+        return corr_lookup(levels, flow, radius)
     raise KeyError(f"unknown corr-lookup backend {backend!r}")
 
 

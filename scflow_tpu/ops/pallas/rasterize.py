@@ -275,6 +275,14 @@ def _kernel_shaded_v2(active_ref, tri_ref, out_ref, *, fc: int, th: int,
     VALUES with 4 masked reduces (exact, no matmul rounding at all) and
     keeps ONE default-precision matmul for the 18 attribute rows.  MXU work
     per active chunk drops ~3.5x; accuracy of bary/z strictly improves.
+
+    Accepted rounding (measured on v5e via tools/check_pallas_parity.py
+    kernel_versions(), 8x sphere 256^2): vs v1's Precision.HIGHEST
+    selection, depth/mask/id/colors/barycentrics are bit-identical; the
+    interpolated corner NORMALS round by max |d| = 1.9e-3 (bf16 mantissa of
+    the attr rows in the default-precision matmul).  Downstream the normals
+    feed Phong shading only, where a 2e-3 normal error moves pixel
+    intensities < 1/255 — accepted in exchange for the 3.5x MXU saving.
     """
     n = pl.program_id(0)
     ty = pl.program_id(1)

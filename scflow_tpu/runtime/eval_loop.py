@@ -31,7 +31,9 @@ def _bucket(n: int, max_bucket: int = 64, fixed: bool = False) -> int:
         # a crowd beyond max_bucket still gets a (rare) bigger bucket
         # rather than a negative pad
         return max(max_bucket, b)
-    return max(min(b, max_bucket), n)
+    # oversized crowds share pow2 buckets too (returning raw n would give
+    # every distinct crowd size its own jit specialization)
+    return b if n > max_bucket else min(b, max_bucket)
 
 
 def pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
@@ -129,16 +131,9 @@ def multi_process_test(variables, infer_fn, dataset, **kwargs):
     )
     if pc == 1:
         return local
-    from jax.experimental import multihost_utils
+    from scflow_tpu.parallel import all_gather_object, merge_sharded_results
 
-    gathered = multihost_utils.process_allgather(local)
-    merged: List = []
-    # round-robin interleave to restore dataset order
-    per_proc = list(gathered)
-    k = 0
-    while any(per_proc):
-        for p in range(pc):
-            if per_proc[p]:
-                merged.append(per_proc[p].pop(0))
-        k += 1
-    return merged
+    # result lists vary in length per process, so a pytree allgather cannot
+    # carry them — pickle-gather the whole list per process instead
+    # (reference collect_results_gpu, tools/eval.py:185-215)
+    return merge_sharded_results(all_gather_object(local))

@@ -171,6 +171,25 @@ class TestCorrelation:
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_dispatch_xla_accepts_flat_pyramid(self, rng):
+        """corr_lookup_dispatch is layout-agnostic: a flat (B, S*S) pyramid
+        routed to the 'xla' branch is reshaped back to 4-D, matching the
+        4-D pyramid result exactly."""
+        from scflow_tpu.ops.corr import (
+            correlation_pyramid_flat,
+            corr_lookup_dispatch,
+        )
+
+        n, h, w, c = 2, 8, 8, 16
+        f1 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        flow = jnp.asarray(rng.normal(size=(n, h, w, 2)).astype(np.float32) * 2)
+        pyr4 = correlation_pyramid(f1, f2, 3)
+        pyrf = correlation_pyramid_flat(f1, f2, 3)
+        want = np.asarray(corr_lookup_dispatch(pyr4, flow, 2, backend="xla"))
+        got = np.asarray(corr_lookup_dispatch(pyrf, flow, 2, backend="xla"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
     def test_pallas_lookup_gradients_match_xla(self, rng):
         """The custom VJP (XLA tent-formulation backward) matches autodiff
         of the XLA lookup for both the correlation maps and the flow."""

@@ -74,5 +74,83 @@ def main():
     print("pallas/xla parity OK")
 
 
+def kernel_versions():
+    """Compare the three shaded-kernel generations ON HARDWARE.
+
+    v2/v3 select the 18 attribute rows (corner normals/colors) with a
+    default-precision matmul — bf16-rounded on TPU, unlike v1's
+    Precision.HIGHEST selection — so CPU interpret-mode equality tests
+    cannot surface the rounding.  This prints the measured per-row-group
+    max |delta| so the accepted error is a number, not a guess.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from scflow_tpu.ops.pallas.rasterize import (
+        pack_shaded_and_bin,
+        pick_face_chunk,
+        rasterize_shaded_pallas,
+        rasterize_shaded_pallas_v3,
+    )
+    from scflow_tpu.render.meshbank import make_synthetic_bank
+    from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
+
+    assert jax.default_backend() == "tpu", "run this on a TPU"
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(1)
+    nclass, batch, img = 4, 8, 256
+    bank = make_synthetic_bank(nclass, kind="sphere", size=80.0, subdivisions=4)
+    labels = jnp.asarray(rng.integers(0, nclass, batch).astype(np.int32))
+    verts = jnp.asarray(bank.verts)[labels]
+    faces = jnp.asarray(bank.faces)[labels]
+    face_valid = jnp.asarray(bank.face_valid)[labels]
+    R = jnp.asarray(np.stack([Rotation.random(random_state=i).as_matrix()
+                              for i in range(batch)]).astype(np.float32))
+    t = jnp.asarray(np.concatenate(
+        [rng.uniform(-30, 30, (batch, 2)), rng.uniform(500, 900, (batch, 1))],
+        axis=1).astype(np.float32))
+    K = jnp.asarray(np.tile(
+        np.array([[[572.4, 0, 128], [0, 573.5, 128], [0, 0, 1]]], np.float32),
+        (batch, 1, 1)))
+    verts_cam = jnp.einsum("nij,nvj->nvi", R, verts) + t[:, None]
+    normals_cam = jnp.einsum(
+        "nij,nvj->nvi", R, jnp.asarray(bank.normals)[labels])
+    attr6 = jnp.concatenate(
+        [normals_cam, jnp.asarray(bank.colors)[labels]], axis=-1)
+    corner_attrs = jnp.stack(
+        [jnp.take_along_axis(attr6, faces[:, :, j][..., None], axis=1)
+         for j in range(3)], axis=2)
+    xy, z = project_to_screen(verts_cam, K)
+    tri_xy, tri_z = _gather_tri(xy, z, faces)
+    fc = pick_face_chunk(faces.shape[1])
+    rows, active, _ = pack_shaded_and_bin(
+        tri_xy, tri_z, face_valid, corner_attrs, img, img, 8, 128, fc)
+    id_bits = max(1, math.ceil(math.log2(max(rows.shape[-1], 2))))
+    kw = dict(h=img, w=img, th=8, tw=128, fc=fc, id_bits=id_bits)
+    v1 = np.asarray(rasterize_shaded_pallas(rows, active, version=1, **kw))
+    v2 = np.asarray(rasterize_shaded_pallas(rows, active, version=2, **kw))
+    v3 = np.asarray(rasterize_shaded_pallas_v3(rows, active, **kw))
+    groups = {"depth/mask/id (0-2)": slice(0, 3), "normals (3-5)": slice(3, 6),
+              "colors (6-8)": slice(6, 9), "barycentrics (9-11)": slice(9, 12)}
+    failures = 0
+    for name, out in (("v2", v2), ("v3", v3)):
+        for gname, sl in groups.items():
+            d = np.abs(out[:, sl] - v1[:, sl])
+            # winner-tie pixels can differ discretely; report the 99.99th
+            # percentile (rounding) alongside the raw max (ties)
+            p = np.percentile(d, 99.99)
+            ok = p < 5e-3
+            print(f"{name} vs v1  {gname:22s} max|d|={d.max():.3e} "
+                  f"p99.99={p:.3e} -> {'OK' if ok else 'FAIL'}")
+            failures += 0 if ok else 1
+    if failures:
+        sys.exit(f"{failures} kernel-version check(s) failed")
+    print("shaded kernel v1/v2/v3 parity OK (rounding within documented bound)")
+
+
 if __name__ == "__main__":
     main()
+    kernel_versions()

@@ -16,7 +16,9 @@ def _sync(out):
     jax.block_until_ready does not reliably wait — only a value fetch
     drains the dispatch queue."""
     leaves = jax.tree_util.tree_leaves(out)
-    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+    # fetch a scalar touching EVERY leaf — fetching only the first could
+    # return while other outputs of a multi-output fn are still in flight
+    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
 
 
 def timeit(fn, *args, n=10, warmup=2):
