@@ -31,8 +31,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
-    """Device-put every array in the batch with its leading axis sharded
-    across the data mesh axis."""
+    """Shard every array in the batch along its leading axis across the data
+    mesh axis.
+
+    Single-process: a plain device_put.  Multi-process: each process holds
+    only ITS slice of the global batch (the DataLoader shards indices per
+    host), so the global array is assembled from per-process local data —
+    the TPU-native equivalent of torch's DistributedSampler + DDP input
+    split (SURVEY.md §2.2).
+    """
+    if jax.process_count() > 1:
+        sh = batch_sharding(mesh, axis_name)
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     sh = batch_sharding(mesh, axis_name)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 

@@ -1,0 +1,84 @@
+"""Multi-process (process_count > 1) coverage on CPU: 2 processes x 4
+virtual devices run the full sharded training step over one global 8-device
+mesh, plus the pickle-based eval-result gather.  Covers the seams the
+single-process suite cannot: jax.distributed bootstrap (parallel/dist.py),
+make_array_from_process_local_data batch assembly (parallel/mesh.py), and
+all_gather_object/merge_sharded_results (reference tools/eval.py:142-215).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _clean_env():
+    env = dict(os.environ)
+    for k in ("SCFLOW_DIST", "SCFLOW_COORDINATOR", "SCFLOW_NUM_PROCESSES",
+              "SCFLOW_PROCESS_ID", "JAX_PLATFORMS", "XLA_FLAGS"):
+        env.pop(k, None)
+    return env
+
+
+def _loss_from(text: str) -> float:
+    m = re.search(r"dryrun_multichip\(\d+\): ok, loss=([0-9.]+)", text)
+    assert m, f"no loss line in output:\n{text[-2000:]}"
+    return float(m.group(1))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step_matches_single_process():
+    port = _free_port()
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join("tests", "mp_worker.py"),
+             str(p), str(nproc), str(port)],
+            cwd=REPO, env=_clean_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "MP_GATHER_OK 7" in out
+        assert "MP_SHARD_OK" in out
+        assert "MP_OK" in out
+
+    losses = [_loss_from(o) for o in outs]
+    assert np.isfinite(losses).all()
+    # both processes observe the same global loss
+    assert abs(losses[0] - losses[1]) < 1e-5, losses
+
+    # and it matches the single-process 8-device run of the same step
+    env = _clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    ref = subprocess.run(
+        [sys.executable, "-c",
+         "from scflow_tpu.utils.platform import enable_compilation_cache; "
+         "enable_compilation_cache(); "
+         "import __graft_entry__ as g; g._dryrun_multichip_body(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert ref.returncode == 0, ref.stderr[-4000:]
+    ref_loss = _loss_from(ref.stdout + ref.stderr)
+    # shard assembly is exact (MP_SHARD_OK above); the residual delta is
+    # fp32 accumulation-order noise (gloo ring reduction + different
+    # per-device thread pools), measured ~2e-3 relative on this step
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-2)

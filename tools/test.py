@@ -38,11 +38,17 @@ def parse_args():
                    help="evaluate only the first N images (smoke runs)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     p.add_argument("--eval-options", nargs="*", default=[])
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="'jax' (or env SCFLOW_DIST=1) initializes "
+                        "jax.distributed for multi-host runs")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from scflow_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.launcher)
     from scflow_tpu.apis import (
         build_render_assets,
         init_model_variables,

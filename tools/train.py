@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--max-iters", default=None, type=int)
     p.add_argument("--num-workers", default=None, type=int)
     p.add_argument("--nan-check", action="store_true")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="'jax' (or env SCFLOW_DIST=1) initializes "
+                        "jax.distributed for multi-host runs")
     p.add_argument("--profile-steps", default=0, type=int,
                    help="capture a jax.profiler trace of N steps "
                         "(starting at step 10) into WORK_DIR/profile")
@@ -48,6 +51,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from scflow_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.launcher)
     from scflow_tpu.apis import (
         build_eval_fn,
         build_loss_assets,
@@ -59,7 +65,7 @@ def main():
     )
     from scflow_tpu.config import Config
     from scflow_tpu.datasets import DataLoader, build_dataset
-    from scflow_tpu.parallel import batch_sharding, make_mesh, replicate
+    from scflow_tpu.parallel import make_mesh, replicate
     from scflow_tpu.refiners import build_refiner_from_config
     from scflow_tpu.runtime import (
         CheckpointHook,
@@ -104,12 +110,16 @@ def main():
     n_dev = len(mesh.devices.ravel())
     per_dev = cfg.data.get("samples_per_gpu", 16)
     global_batch = per_dev * n_dev
-    logger.info(f"{n_dev} devices, global batch {global_batch}")
+    local_batch = global_batch // jax.process_count()
+    logger.info(
+        f"{n_dev} devices / {jax.process_count()} processes, "
+        f"global batch {global_batch} (local {local_batch})"
+    )
 
     train_set = build_dataset(cfg.data["train"])
     loader = DataLoader(
         train_set,
-        samples_per_step=global_batch,
+        samples_per_step=local_batch,
         num_workers=args.num_workers or cfg.data.get("workers_per_gpu", 8),
         seed=args.seed,
         process_index=jax.process_index(),
@@ -154,10 +164,10 @@ def main():
         except (FileNotFoundError, OSError) as e:
             logger.warning(f"val dataset unavailable ({e}); skipping EvalHook")
 
-    sh = batch_sharding(mesh)
+    from scflow_tpu.parallel import shard_batch
 
     def put_batch(batch):
-        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return shard_batch(batch, mesh)
 
     with mesh:
         state = replicate(state, mesh)
