@@ -34,56 +34,82 @@ class _Norm(nn.Module):
         raise ValueError(self.kind)
 
 
+def _downsample_branch(x, out_ch, stride, norm, avg_down, dtype, train):
+    """Identity-branch projection (reference ResLayer, resnet.py:697-732):
+    1x1 conv WITH bias (the reference keeps `bias=True` with an unresolved
+    TODO — load-bearing for checkpoint conversion) + norm; with avg_down
+    (V1d) a stride-s avg-pool precedes a stride-1 conv, shifting the torch
+    Sequential indices to downsample.1/.2 (flax names avgdown_*)."""
+    if avg_down and stride != 1:
+        x = nn.avg_pool(x, (stride, stride), strides=(stride, stride),
+                        count_include_pad=False)
+        x = nn.Conv(out_ch, (1, 1), use_bias=True, dtype=dtype,
+                    name="avgdown_conv")(x)
+        return _Norm(norm, name="avgdown_norm")(x, train)
+    x = nn.Conv(out_ch, (1, 1), strides=(stride, stride), use_bias=True,
+                dtype=dtype, name="downsample_conv")(x)
+    return _Norm(norm, name="downsample_norm")(x, train)
+
+
 class Bottleneck(nn.Module):
-    """mmcv Bottleneck (expansion 4) — the reference's 'Small' net_type
-    (models/backbone/resnet.py:97; unused by shipped configs)."""
+    """mmcv Bottleneck, 'pytorch' style: stride on conv2, expansion 4,
+    convs bias-free (reference models/backbone/resnet.py:97-260)."""
 
     planes: int
     stride: int = 1
+    dilation: int = 1
     norm: Optional[str] = "BN"
     with_downsample: bool = False
+    avg_down: bool = False
     dtype: Any = None
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=True, dtype=self.dtype,
+        d = self.dilation
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = _Norm(self.norm, name="norm1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
-                      name="conv2")(out)
+                      padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = _Norm(self.norm, name="norm2")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=True,
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
         out = _Norm(self.norm, name="norm3")(out, train)
         if self.with_downsample:
-            identity = nn.Conv(
-                self.planes * self.expansion, (1, 1),
-                strides=(self.stride, self.stride), use_bias=False,
-                dtype=self.dtype, name="downsample_conv",
-            )(x)
-            identity = _Norm(self.norm, name="downsample_norm")(identity, train)
+            identity = _downsample_branch(
+                x, self.planes * self.expansion, self.stride, self.norm,
+                self.avg_down, self.dtype, train,
+            )
         return nn.relu(out + identity)
 
 
 class BasicBlock(nn.Module):
+    """mmcv-modified BasicBlock: 3x3 convs WITH bias (reference
+    resnet.py:36-48 — this repo's resnet.py diverges from stock mmcv
+    here), dilation on conv1."""
+
     planes: int
     stride: int = 1
+    dilation: int = 1
     norm: Optional[str] = "BN"
     with_downsample: bool = False
+    avg_down: bool = False
     dtype: Any = None
+    expansion: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
+        d = self.dilation
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
-            name="conv1",
+            padding=((d, d), (d, d)), kernel_dilation=(d, d), use_bias=True,
+            dtype=self.dtype, name="conv1",
         )(x)
         out = _Norm(self.norm, name="norm1")(out, train)
         out = nn.relu(out)
@@ -93,11 +119,10 @@ class BasicBlock(nn.Module):
         )(out)
         out = _Norm(self.norm, name="norm2")(out, train)
         if self.with_downsample:
-            identity = nn.Conv(
-                self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
-            )(x)
-            identity = _Norm(self.norm, name="downsample_norm")(identity, train)
+            identity = _downsample_branch(
+                x, self.planes, self.stride, self.norm, self.avg_down,
+                self.dtype, train,
+            )
         return nn.relu(out + identity)
 
 

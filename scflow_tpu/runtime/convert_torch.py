@@ -84,8 +84,17 @@ def _flax_path_to_torch_key(path: Tuple[str, ...], leaf_name: str) -> Optional[s
             out.append(f"conv_layers.{p[len('conv'):]}")
         elif re.fullmatch(r"fc(\d+)", p):
             out.append(f"fc_layers.{p[len('fc'):]}.0")
-        elif p in ("norm1", "norm2"):
+        elif p in ("norm1", "norm2", "norm3"):
             out.append("__" + p + "__")
+        elif re.fullmatch(r"stage(\d+)_block(\d+)", p):
+            m2 = re.fullmatch(r"stage(\d+)_block(\d+)", p)
+            out.append(f"layer{m2.group(1)}.{m2.group(2)}")
+        elif re.fullmatch(r"stem(\d+)", p):
+            out.append(f"stem.{p[len('stem'):]}")
+        elif p == "avgdown_conv":
+            out.append("downsample.1")
+        elif p == "avgdown_norm":
+            out.append("downsample.2")
         elif p == "norm":  # ConvModule norm
             out.append("__cm_norm__")
         elif p == "n":  # inner norm layer of _Norm
@@ -103,6 +112,7 @@ def _resolve_norm_placeholder(key: str, kind: str) -> str:
     key = key.replace("__stem_norm__", f"{abbr}1")
     key = key.replace("__norm1__", f"{abbr}1")
     key = key.replace("__norm2__", f"{abbr}2")
+    key = key.replace("__norm3__", f"{abbr}3")
     key = key.replace("__cm_norm__", abbr)
     return key
 

@@ -24,6 +24,7 @@ from torch_oracle import (
     MotionEncoderTorch,
     MultiClassPoseHeadTorch,
     RAFTEncoderTorch,
+    SCFlowRefinerTorch,
     XHeadTorch,
 )
 
@@ -63,6 +64,34 @@ class TestEncoderConversion:
         with torch.no_grad():
             out_t = to_nhwc(tmodel(to_nchw(x)))
         np.testing.assert_allclose(np.asarray(out_f), out_t, atol=2e-4)
+
+    @pytest.mark.parametrize("depth,v1d", [(18, False), (50, True)])
+    def test_full_resnet_parity(self, key, rng, depth, v1d):
+        """Full ResNet/ResNetV1d backbone (reference resnet.py:306-773):
+        converted torch weights reproduce all four stage outputs, incl. the
+        bias=True downsample projection and the V1d deep-stem/avg-down
+        layout."""
+        from scflow_tpu.models.resnet import ResNet, ResNetV1d
+        from torch_oracle import ResNetTorch
+
+        tm = ResNetTorch(depth=depth, deep_stem=v1d, avg_down=v1d).eval()
+        fcls = ResNetV1d if v1d else ResNet
+        fm = fcls(depth=depth)
+        x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        variables = fm.init(key, jnp.asarray(x))
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        conv = convert_state_dict_to_variables(
+            sd, jax.tree_util.tree_map(np.asarray, variables),
+            encoder_norm="BN", cxt_norm="BN",
+        )
+        outs_f = fm.apply({k: conv[k] for k in variables}, jnp.asarray(x))
+        with torch.no_grad():
+            outs_t = tm(to_nchw(x))
+        assert len(outs_f) == 4
+        for of, ot in zip(outs_f, outs_t):
+            np.testing.assert_allclose(
+                np.asarray(of), to_nhwc(ot), atol=5e-4
+            )
 
     def test_mmflow_duplication_rule(self):
         sd = {"encoder.conv1.weight": np.zeros(1), "cxt_encoder.conv1.weight": np.ones(1),
@@ -118,6 +147,95 @@ class TestDecoderPieces:
         with torch.no_grad():
             out_t = to_nhwc(tm(to_nchw(x)))
         np.testing.assert_allclose(np.asarray(out_f), out_t, atol=2e-4)
+
+    def test_full_model_e2e_parity(self, key, rng):
+        """Whole-network fp32 parity: torch oracle SCFlowRefiner (fp64) ->
+        convert state dict -> flax SCFlowRefiner forward.  Covers the full
+        chain the layer tests cannot: shared-encoder feature extraction,
+        corr pyramid + windowed lookup, 4 recurrent GRU iterations, SE(3)
+        updates, and the pose-induced flow feedback (VERDICT r1 item 3)."""
+        from scflow_tpu.refiners import SCFlowRefiner
+
+        # img=128 is the floor for a 4-level pyramid: 64px features are 8x8
+        # and the last level collapses to 1x1 (align_corners grid div-by-0)
+        n, img, nclass, iters = 2, 128, 3, 4
+        tm = SCFlowRefinerTorch(num_class=nclass, iters=iters,
+                                feat_size=(img // 8, img // 8)).eval()
+        # non-zero pose head so the pose chain (and its feedback into the
+        # next lookup) actually moves
+        with torch.no_grad():
+            tm.decoder.pose_pred.rotation_pred.weight.normal_(0, 0.02)
+            tm.decoder.pose_pred.translation_pred.weight.normal_(0, 0.02)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        fmodel = SCFlowRefiner(
+            iters=iters,
+            pose_head_cfg=dict(type="MultiClassPoseHead", num_class=nclass,
+                               in_channels=224, rotation_mode="ortho6d"),
+        )
+        real = rng.normal(size=(n, img, img, 3)).astype(np.float32) * 0.3
+        render = rng.normal(size=(n, img, img, 3)).astype(np.float32) * 0.3
+        depth = np.zeros((n, img, img), np.float32)
+        yy, xx = np.mgrid[0:img, 0:img]
+        blob = ((yy - 64) ** 2 + (xx - 60) ** 2) < 36**2
+        depth[:, blob] = (400.0 + 0.3 * yy + 0.2 * xx)[blob]
+        from scipy.spatial.transform import Rotation
+
+        R = np.stack([Rotation.random(random_state=i).as_matrix()
+                      for i in range(n)]).astype(np.float32)
+        t = np.array([[5.0, -4.0, 400.0], [-6.0, 3.0, 420.0]], np.float32)
+        K = np.tile(np.array([[[150.0, 0, 64], [0, 150.0, 64], [0, 0, 1]]],
+                             np.float32), (n, 1, 1))
+        labels = np.array([0, 2])
+
+        variables = fmodel.init(
+            key, jnp.asarray(render), jnp.asarray(real), jnp.asarray(R),
+            jnp.asarray(t), jnp.asarray(depth), jnp.asarray(K),
+            jnp.asarray(labels),
+        )
+        conv = convert_state_dict_to_variables(
+            sd, jax.tree_util.tree_map(np.asarray, variables)
+        )
+        out_f = fmodel.apply(
+            {k: conv[k] for k in variables}, jnp.asarray(render),
+            jnp.asarray(real), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(depth), jnp.asarray(K), jnp.asarray(labels),
+        )
+        tm = tm.double()
+        with torch.no_grad():
+            out_t = tm(
+                to_nchw(render).double(), to_nchw(real).double(),
+                torch.from_numpy(R).double(), torch.from_numpy(t).double(),
+                torch.from_numpy(depth).double(),
+                torch.from_numpy(K).double(),
+                torch.from_numpy(labels),
+            )
+
+        # full sequences, every iteration
+        np.testing.assert_allclose(
+            np.asarray(out_f["rotations"]), out_t["rotations"].numpy(),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f["translations"]),
+            out_t["translations"].numpy(), rtol=2e-3, atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f["delta_rotations"]),
+            out_t["delta_rotations"].numpy(), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f["masks"]),
+            out_t["masks"].numpy()[:, :, 0], atol=2e-3,
+        )
+        f_pred = np.asarray(out_f["flow_from_pred"]).transpose(0, 1, 4, 2, 3)
+        np.testing.assert_allclose(
+            f_pred, out_t["flow_from_pred"].numpy(), atol=5e-3,
+        )
+        f_pose = np.asarray(out_f["flow_from_pose"]).transpose(0, 1, 4, 2, 3)
+        np.testing.assert_allclose(
+            f_pose, out_t["flow_from_pose"].numpy(), atol=2e-2,
+        )
 
     def test_pose_head_parity(self, key, rng):
         """Covers the NCHW-flatten ordering of the FC input — the subtle

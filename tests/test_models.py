@@ -51,11 +51,12 @@ class TestEncoder:
         expect = conv(3, 64, 7)
         # stage1: 2 blocks 64->64
         expect += 2 * (conv(64, 64, 3) + conv(64, 64, 3))
-        # stage2: block0 64->96 (+ds), block1 96->96
-        expect += conv(64, 96, 3) + conv(96, 96, 3) + 64 * 96
+        # stage2: block0 64->96 (+1x1 ds WITH bias, reference ResLayer
+        # resnet.py:728), block1 96->96
+        expect += conv(64, 96, 3) + conv(96, 96, 3) + conv(64, 96, 1)
         expect += conv(96, 96, 3) + conv(96, 96, 3)
         # stage3: block0 96->128 (+ds), block1 128->128
-        expect += conv(96, 128, 3) + conv(128, 128, 3) + 96 * 128
+        expect += conv(96, 128, 3) + conv(128, 128, 3) + conv(96, 128, 1)
         expect += conv(128, 128, 3) + conv(128, 128, 3)
         expect += conv(128, 256, 1)
         assert param_count(v) == expect

@@ -60,8 +60,11 @@ class BasicBlock(nn.Module):
         self._abbr = abbr
         self.downsample = None
         if stride != 1 or cin != planes:
+            # reference ResLayer keeps bias=True on the projection conv
+            # (resnet.py:728 with an unresolved TODO) — load-bearing for
+            # checkpoint conversion
             self.downsample = nn.Sequential(
-                nn.Conv2d(cin, planes, 1, stride, bias=False), make_norm(norm, planes)
+                nn.Conv2d(cin, planes, 1, stride, bias=True), make_norm(norm, planes)
             )
 
     def forward(self, x):
@@ -71,6 +74,110 @@ class BasicBlock(nn.Module):
         if self.downsample is not None:
             identity = self.downsample(x)
         return F.relu(out + identity)
+
+
+class BottleneckTorch(nn.Module):
+    """Reference Bottleneck (resnet.py:97-260), 'pytorch' style: stride on
+    conv2, convs bias-free, expansion 4."""
+
+    expansion = 4
+
+    def __init__(self, cin, planes, stride, norm, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        abbr = {"BN": "bn", "IN": "in"}[norm]
+        setattr(self, f"{abbr}1", make_norm(norm, planes))
+        setattr(self, f"{abbr}2", make_norm(norm, planes))
+        setattr(self, f"{abbr}3", make_norm(norm, planes * 4))
+        self._abbr = abbr
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(getattr(self, f"{self._abbr}1")(self.conv1(x)))
+        out = F.relu(getattr(self, f"{self._abbr}2")(self.conv2(out)))
+        out = getattr(self, f"{self._abbr}3")(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class ResNetTorch(nn.Module):
+    """Reference full ResNet/ResNetV1d (resnet.py:306-773): stem (7x7 or
+    deep 3x3 triple) + maxpool + 4 stages; avg_down pools before a stride-1
+    projection conv; downsample projection keeps bias=True (ResLayer,
+    resnet.py:728)."""
+
+    _arch = {18: ("basic", (2, 2, 2, 2)), 34: ("basic", (3, 4, 6, 3)),
+             50: ("bottleneck", (3, 4, 6, 3))}
+
+    def __init__(self, depth=18, base_channels=64, norm="BN",
+                 deep_stem=False, avg_down=False, num_stages=4,
+                 strides=(1, 2, 2, 2), out_indices=(0, 1, 2, 3)):
+        super().__init__()
+        kind, stage_blocks = self._arch[depth]
+        block = BasicBlock if kind == "basic" else BottleneckTorch
+        expansion = 1 if kind == "basic" else 4
+        self.deep_stem = deep_stem
+        self.out_indices = out_indices
+        stem = base_channels
+        if deep_stem:
+            half = stem // 2
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, half, 3, 2, 1, bias=False), make_norm(norm, half),
+                nn.ReLU(), nn.Conv2d(half, half, 3, 1, 1, bias=False),
+                make_norm(norm, half), nn.ReLU(),
+                nn.Conv2d(half, stem, 3, 1, 1, bias=False),
+                make_norm(norm, stem), nn.ReLU(),
+            )
+        else:
+            self.conv1 = nn.Conv2d(3, stem, 7, 2, 3, bias=False)
+            setattr(self, {"BN": "bn", "IN": "in"}[norm] + "1",
+                    make_norm(norm, stem))
+            self._abbr = {"BN": "bn", "IN": "in"}[norm]
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inplanes = stem
+        self.num_stages = num_stages
+        for i, nb in enumerate(stage_blocks[:num_stages]):
+            planes = base_channels * 2**i
+            blocks = []
+            for b in range(nb):
+                s = strides[i] if b == 0 else 1
+                ds = None
+                if s != 1 or inplanes != planes * expansion:
+                    seq = []
+                    cs = s
+                    if avg_down and s != 1:
+                        seq.append(nn.AvgPool2d(s, s, ceil_mode=True,
+                                                count_include_pad=False))
+                        cs = 1
+                    seq += [nn.Conv2d(inplanes, planes * expansion, 1, cs,
+                                      bias=True),
+                            make_norm(norm, planes * expansion)]
+                    ds = nn.Sequential(*seq)
+                if kind == "basic":
+                    blk = BasicBlock(inplanes, planes, s, norm)
+                    blk.downsample = ds
+                else:
+                    blk = BottleneckTorch(inplanes, planes, s, norm, ds)
+                blocks.append(blk)
+                inplanes = planes * expansion
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        if self.deep_stem:
+            x = self.stem(x)
+        else:
+            x = F.relu(getattr(self, f"{self._abbr}1")(self.conv1(x)))
+        x = self.maxpool(x)
+        outs = []
+        for i in range(self.num_stages):
+            x = getattr(self, f"layer{i + 1}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return outs
 
 
 class RAFTEncoderTorch(nn.Module):
@@ -154,8 +261,204 @@ class XHeadTorch(nn.Module):
         return self.predict_layer(self.layers(x))
 
 
+def corr_pyramid_torch(feat1, feat2, num_levels=4):
+    """Reference CorrelationPyramid (raft_decoder.py:19-58): all-pairs
+    matmul / sqrt(C), then 2x2 avg-pool pyramid of (N*H*W, 1, Hl, Wl)."""
+    N, C, H, W = feat1.shape
+    corr = torch.matmul(
+        feat1.view(N, C, -1).permute(0, 2, 1), feat2.view(N, C, -1)
+    ).view(N * H * W, 1, H, W) / math.sqrt(C)
+    pyr = [corr]
+    for _ in range(num_levels - 1):
+        pyr.append(F.avg_pool2d(pyr[-1], 2, 2))
+    return pyr
+
+
+def corr_lookup_torch(pyramid, flow, radius=4):
+    """Reference CorrLookup (corr_lookup.py:102-136): window taps around
+    coords+flow per level via grid_sample (bilinear, zeros padding,
+    align_corners=True).  Tap-order quirk preserved: the FIRST window axis
+    offsets x, the second offsets y (delta = stack(meshgrid(dy, dx)) added
+    to an (x, y) grid)."""
+    B, _, H, W = flow.shape
+    dt = flow.dtype
+    xx = torch.arange(W, dtype=dt)
+    yy = torch.arange(H, dtype=dt)
+    gy, gx = torch.meshgrid(yy, xx, indexing="ij")
+    grid = torch.stack([gx, gy], dim=0)[None] + flow  # (B, 2, H, W), (x, y)
+    grid = grid.permute(0, 2, 3, 1)
+    k = 2 * radius + 1
+    offs = torch.linspace(-radius, radius, k, dtype=dt)
+    da, db = torch.meshgrid(offs, offs, indexing="ij")
+    delta = torch.stack([da, db], dim=-1).view(1, k, k, 2)
+
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        centroid = grid.reshape(B * H * W, 1, 1, 2) / 2**lvl
+        coords = centroid + delta  # (..., (x, y))
+        _, _, Hl, Wl = corr.shape
+        norm = torch.stack(
+            [2 * coords[..., 0] / (Wl - 1) - 1, 2 * coords[..., 1] / (Hl - 1) - 1],
+            dim=-1,
+        )
+        samp = F.grid_sample(corr, norm, mode="bilinear",
+                             padding_mode="zeros", align_corners=True)
+        outs.append(samp.view(B, H, W, -1))
+    return torch.cat(outs, dim=-1).permute(0, 3, 1, 2)
+
+
+def ortho6d_to_matrix_torch(o6d):
+    """Gram-Schmidt ortho6d -> R (reference pose.py:153-169)."""
+    x = F.normalize(o6d[:, 0:3], p=2, dim=1)
+    z = F.normalize(torch.cross(x, o6d[:, 3:6], dim=1), p=2, dim=1)
+    y = torch.cross(z, x, dim=1)
+    return torch.stack([x, y, z], dim=-1)
+
+
+def apply_delta_pose_torch(d_rot6d, d_trans, R_src, t_src, weight=10.0,
+                           depth_transform="exp"):
+    """Reference get_pose_from_delta_pose (pose.py:124-149), forward only."""
+    dR = ortho6d_to_matrix_torch(d_rot6d)
+    R_dst = torch.bmm(dR, R_src)
+    if depth_transform == "exp":
+        vz = t_src[:, 2] / torch.exp(d_trans[:, 2])
+    else:
+        vz = t_src[:, 2] * (d_trans[:, 2] + 1)
+    vx = vz * (d_trans[:, 0] / weight + t_src[:, 0] / t_src[:, 2])
+    vy = vz * (d_trans[:, 1] / weight + t_src[:, 1] / t_src[:, 2])
+    return R_dst, torch.stack([vx, vy, vz], dim=-1)
+
+
+def cal_3d_2d_corr_torch(depth, K, R, t):
+    """Reference cal_3d_2d_corr (pose.py:44-64): object-frame lift of the
+    depth>0 pixels."""
+    mask = depth > 0
+    ys, xs = torch.nonzero(mask, as_tuple=True)
+    d = depth[mask]
+    homo = torch.stack([xs.to(d.dtype), ys.to(d.dtype), torch.ones_like(d)], -1)
+    cam = torch.mm(torch.inverse(K), (homo * d[:, None]).t()).t()
+    obj = torch.mm(torch.inverse(R), (cam - t[None]).t()).t()
+    return torch.stack([xs.to(d.dtype), ys.to(d.dtype)], -1), obj
+
+
+def flow_from_points_torch(R_dst, t_dst, K, p2d_list, p3d_list, H, W,
+                           invalid_num=0.0):
+    """Reference get_flow_from_delta_pose_and_points (pose.py:66-88):
+    reproject + scatter per image."""
+    n = len(p2d_list)
+    flow = R_dst.new_ones((n, 2, H, W)) * invalid_num
+    for i in range(n):
+        p2d, p3d = p2d_list[i], p3d_list[i]
+        proj = torch.mm(K[i], torch.mm(R_dst[i], p3d.t()) + t_dst[i][:, None]).t()
+        fx = proj[:, 0] / proj[:, 2] - p2d[:, 0]
+        fy = proj[:, 1] / proj[:, 2] - p2d[:, 1]
+        yi = p2d[:, 1].long()
+        xi = p2d[:, 0].long()
+        flow[i, 0, yi, xi] = fx
+        flow[i, 1, yi, xi] = fy
+    return flow
+
+
+class SCFlowDecoderTorch(nn.Module):
+    """Reference SCFlowDecoder (scflow_decoder.py:18-251) with mmcv naming:
+    encoder (motion), gru, flow_pred, mask_pred, pose_pred,
+    delta_flow_encoder [2->128(7x7)->64(3x3)], mask_encoder
+    [1->64->32 (3x3)]."""
+
+    def __init__(self, num_class=3, num_levels=4, radius=4, iters=4,
+                 feat_size=(8, 8)):
+        super().__init__()
+        self.num_levels = num_levels
+        self.radius = radius
+        self.iters = iters
+        self.encoder = MotionEncoderTorch(num_levels, radius)
+        self.gru = ConvGRUTorch(128, 256)
+        self.flow_pred = XHeadTorch(128, 256, 2, kind="flow")
+        self.mask_pred = XHeadTorch(128, 256, 1, kind="mask")
+        self.pose_pred = MultiClassPoseHeadTorch(num_class, 224, 6,
+                                                 feat_size=feat_size)
+        self.delta_flow_encoder = nn.Sequential(
+            ConvModule(2, 128, 7, padding=3), ConvModule(128, 64, 3, padding=1)
+        )
+        self.mask_encoder = nn.Sequential(
+            ConvModule(1, 64, 3, padding=1), ConvModule(64, 32, 3, padding=1)
+        )
+
+    def forward(self, feat_render, feat_real, h_feat, cxt_feat, ref_R, ref_t,
+                depth, K, label, init_flow, invalid_flow_num=0.0):
+        pyramid = corr_pyramid_torch(feat_render, feat_real, self.num_levels)
+        scale = 2 ** (self.num_levels - 1)
+        N, H, W = depth.shape
+        p2d, p3d = [], []
+        for i in range(N):
+            a, b = cal_3d_2d_corr_torch(depth[i], K[i], ref_R[i], ref_t[i])
+            p2d.append(a)
+            p3d.append(b)
+        R, t = ref_R, ref_t
+        flow = init_flow
+        mask = torch.ones((N, 1, H // scale, W // scale), dtype=init_flow.dtype)
+        seqs = {k: [] for k in ("flow_from_pose", "flow_from_pred",
+                                "rotations", "translations", "masks",
+                                "delta_rotations", "delta_translations")}
+        for _ in range(self.iters):
+            flow_small = (1.0 / scale) * F.interpolate(
+                flow, scale_factor=1.0 / scale, mode="bilinear",
+                align_corners=True)
+            corr = corr_lookup_torch(pyramid, flow_small, self.radius)
+            motion_feat = self.encoder(corr, flow_small)
+            h_feat = self.gru(h_feat, torch.cat([cxt_feat, motion_feat], 1))
+            delta_flow = self.flow_pred(h_feat)
+            mask = torch.sigmoid(self.mask_pred(h_feat))
+            dff = self.delta_flow_encoder(delta_flow)
+            mf = self.mask_encoder(mask)
+            d_rot, d_trans = self.pose_pred(
+                torch.cat([h_feat, dff, mf], dim=1), label)
+            flow_pred = scale * F.interpolate(
+                flow_small + delta_flow, scale_factor=scale, mode="bilinear",
+                align_corners=True)
+            up_mask = F.interpolate(mask, scale_factor=scale, mode="bilinear",
+                                    align_corners=True)
+            R, t = apply_delta_pose_torch(d_rot, d_trans, R, t)
+            flow = flow_from_points_torch(R, t, K, p2d, p3d, H, W,
+                                          invalid_flow_num)
+            seqs["flow_from_pose"].append(flow)
+            seqs["flow_from_pred"].append(flow_pred)
+            seqs["rotations"].append(R)
+            seqs["translations"].append(t)
+            seqs["masks"].append(up_mask)
+            seqs["delta_rotations"].append(d_rot)
+            seqs["delta_translations"].append(d_trans)
+        return {k: torch.stack(v, 0) for k, v in seqs.items()}
+
+
+class SCFlowRefinerTorch(nn.Module):
+    """Full reference SCFlowRefiner network (scflow_refiner.py:88-143):
+    shared feature encoder + BN context encoder (tanh/relu split) + SCFlow
+    decoder.  Module names match the reference checkpoint layout consumed by
+    runtime/convert_torch.py."""
+
+    def __init__(self, num_class=3, iters=4, feat_size=(8, 8)):
+        super().__init__()
+        self.render_encoder = RAFTEncoderTorch(256, norm="IN")
+        self.context = RAFTEncoderTorch(256, norm="BN")
+        self.decoder = SCFlowDecoderTorch(num_class=num_class, iters=iters,
+                                          feat_size=feat_size)
+
+    def forward(self, render_images, real_images, ref_R, ref_t, depth, K,
+                label):
+        feat_render = self.render_encoder(render_images)
+        feat_real = self.render_encoder(real_images)
+        cxt = self.context(render_images)
+        h_feat = torch.tanh(cxt[:, :128])
+        cxt_feat = torch.relu(cxt[:, 128:])
+        N, _, H, W = real_images.shape
+        init_flow = torch.zeros((N, 2, H, W), dtype=real_images.dtype)
+        return self.decoder(feat_render, feat_real, h_feat, cxt_feat, ref_R,
+                            ref_t, depth, K, label, init_flow)
+
+
 class MultiClassPoseHeadTorch(nn.Module):
-    def __init__(self, num_class=21, cin=224, rot_dim=6):
+    def __init__(self, num_class=21, cin=224, rot_dim=6, feat_size=(32, 32)):
         super().__init__()
         self.num_class = num_class
         self.rot_dim = rot_dim
@@ -164,8 +467,11 @@ class MultiClassPoseHeadTorch(nn.Module):
             convs.append(ConvModule(cin, 128, 3, stride=2, padding=1, norm="GN"))
             cin = 128
         self.conv_layers = nn.Sequential(*convs)
+        # fc input = 128 * feat_size/8^2 (reference pose_head.py:146-168
+        # conv_out_size accounting; feat_size is the head INPUT spatial size)
+        fc_in = 128 * (feat_size[0] // 8) * (feat_size[1] // 8)
         self.fc_layers = nn.Sequential(
-            nn.Sequential(nn.Linear(128 * 16, 1024), nn.ReLU()),
+            nn.Sequential(nn.Linear(fc_in, 1024), nn.ReLU()),
             nn.Sequential(nn.Linear(1024, 256), nn.ReLU()),
         )
         self.rotation_pred = nn.Linear(256, rot_dim * num_class)
