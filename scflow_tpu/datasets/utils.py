@@ -66,3 +66,30 @@ def project_3d_points_np(pt3d, K, rotation, translation):
     if single:
         return xy[0], cam[0]
     return xy, cam
+
+
+def intersect_and_union(pred_mask, gt_mask):
+    """Pairwise mask intersection/union histograms (reference
+    tools/eval.py:218-261): for P predicted and G ground-truth binary masks,
+    returns (G, P) intersection and union areas plus the per-mask areas —
+    the building block for mask-IoU matching.
+
+    Accepts numpy arrays of shape (N, H, W) (or a BitmapMasks for gt).
+    """
+    from scflow_tpu.datasets.mask import BitmapMasks
+
+    if isinstance(gt_mask, BitmapMasks):
+        gt_mask = gt_mask.masks
+    gt_mask = np.asarray(gt_mask)
+    pred_mask = np.asarray(pred_mask)
+    if gt_mask.dtype != np.bool_:
+        gt_mask = gt_mask.astype(np.bool_)
+    if pred_mask.dtype != np.bool_:
+        pred_mask = pred_mask.astype(np.bool_)
+
+    intersect = pred_mask[None] & gt_mask[:, None]
+    area_intersect = intersect.sum(axis=(-1, -2))
+    area_pred = pred_mask.sum(axis=(-1, -2))
+    area_gt = gt_mask.sum(axis=(-1, -2))
+    area_union = area_gt[..., None] + area_pred[None] - area_intersect
+    return area_intersect, area_union, area_pred, area_gt

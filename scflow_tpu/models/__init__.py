@@ -5,6 +5,7 @@ from scflow_tpu.models.pose_head import SingleClassPoseHead, MultiClassPoseHead
 from scflow_tpu.models.raft_decoder import RAFTDecoder, RAFTDecoderMask
 from scflow_tpu.models.scflow_decoder import SCFlowDecoder
 from scflow_tpu.models.densenet import DenseLayer, BasicDenseBlock
+from scflow_tpu.models.resnet import ResNet, ResNetV1d
 
 __all__ = [
     "ConvModule",
@@ -18,6 +19,8 @@ __all__ = [
     "RAFTDecoder",
     "RAFTDecoderMask",
     "SCFlowDecoder",
+    "ResNet",
+    "ResNetV1d",
     "DenseLayer",
     "BasicDenseBlock",
 ]
