@@ -23,20 +23,29 @@ from scflow_tpu.render.ply import load_ply
 
 
 def add_auc(errors: np.ndarray, max_error: float = 100.0) -> float:
-    """Area under the ADD accuracy-threshold curve, thresholds 0..max_error
-    (PoseCNN-style VOCap).  Errors above max_error contribute zero."""
+    """Area under the ADD accuracy-threshold curve, thresholds 0..max_error.
+
+    Exactly the PoseCNN/YCB-Video-toolkit VOCap definition (the convention
+    every SCFlow-family comparison table uses; the reference requests 'auc'
+    but ships no implementation, base_dataset.py:310-317 / SURVEY.md §2.4
+    item 4): errors above max_error are dropped (treated as inf), accuracy
+    at each finite error is rank/n_total, and the integral is the
+    RIGHT-endpoint step sum  sum_i (x_i - x_{i-1}) * acc_i / max_error —
+    not a trapezoid (VOCap.m's `sum((mrec(i)-mrec(i-1)).*mpre(i))`).
+    E.g. a single error at max_error/2 scores 1.0 under VOCap.
+    """
     errors = np.sort(np.asarray(errors, np.float64))
     n = len(errors)
     if n == 0:
         return 0.0
     acc = np.arange(1, n + 1, dtype=np.float64) / n
-    mask = errors <= max_error
-    xs = np.concatenate([[0.0], errors[mask], [max_error]])
-    tail = acc[mask][-1] if mask.any() else 0.0
-    ys = np.concatenate([[0.0], acc[mask], [tail]])
-    # step function: recall jumps at each error value
-    ys_step = np.maximum.accumulate(ys)
-    return float(np.trapezoid(ys_step, xs) / max_error)
+    keep = errors <= max_error
+    tail = acc[keep][-1] if keep.any() else 0.0
+    mrec = np.concatenate([[0.0], errors[keep], [max_error]])
+    mpre = np.concatenate([[0.0], acc[keep], [tail]])
+    mpre = np.maximum.accumulate(mpre)
+    i = np.nonzero(np.diff(mrec) != 0.0)[0] + 1
+    return float(np.sum((mrec[i] - mrec[i - 1]) * mpre[i]) / max_error)
 
 
 @DATASETS.register_module("ConcatDataset")

@@ -70,7 +70,9 @@ def bop_root(tmp_path_factory):
         img = rng.integers(0, 255, size=(*IMG_HW, 3), dtype=np.uint8)
         cv2.imwrite(str(seq / "rgb" / f"{img_id:06d}.png"), img)
         anns, infos = [], []
-        for oi in range(NCLASS):
+        # image 2 contains only object 1 — a prediction for class 2 on it
+        # is then a valid-class spurious detection (no GT instance)
+        for oi in range(NCLASS if img_id < 2 else 1):
             R = Rotation.random(random_state=img_id * 10 + oi).as_matrix()
             t = np.array([(oi - 0.5) * 60, 0, 500.0 + 30 * oi])
             anns.append(
@@ -241,11 +243,116 @@ class TestEvaluation:
         )
         assert out["average/add_10"] == 0.0
 
-    def test_add_auc(self):
-        assert add_auc(np.zeros(10), 100.0) > 0.99
+    def test_add_auc_vocap_golden(self):
+        """Hand-computed PoseCNN VOCap values (right-endpoint step integral,
+        duplicates collapsed to their first rank — YCB-Video toolkit
+        VOCap.m semantics)."""
+        # all-zero errors: single step at 0 -> full area
+        assert add_auc(np.zeros(10), 100.0) == 1.0
+        # everything past max_error: zero
         assert add_auc(np.full(10, 1000.0), 100.0) == 0.0
-        mid = add_auc(np.full(10, 50.0), 100.0)
-        assert 0.45 < mid < 0.55
+        assert add_auc(np.array([]), 100.0) == 0.0
+        # [10,20,30,200] @ max 100:
+        # 10*.25 + 10*.5 + 10*.75 + 70*.75 = 67.5 -> 0.675
+        np.testing.assert_allclose(
+            add_auc(np.array([10.0, 20.0, 30.0, 200.0]), 100.0), 0.675
+        )
+        # VOCap quirk 1: a single error at 50 scores 1.0 (the [0,50]
+        # interval takes the right-endpoint accuracy)
+        np.testing.assert_allclose(add_auc(np.array([50.0]), 100.0), 1.0)
+        # VOCap quirk 2: ten duplicates at 50 score 0.55 (duplicate xs
+        # collapse to the FIRST rank: 50*0.1 + 50*1.0)
+        np.testing.assert_allclose(add_auc(np.full(10, 50.0), 100.0), 0.55)
+        # mixed: [0, 100] @ 100 -> 100*0.5 + 0 ... both finite:
+        # intervals (0,100]: mpre at 100 = 1.0 -> but [0,0] has width 0:
+        # ap = (100-0)*1.0 ... wait acc at 0 is 0.5 -> steps: i at x=100
+        # only (x=0 equals left pad) -> 100*1.0 -> 1.0
+        np.testing.assert_allclose(add_auc(np.array([0.0, 100.0]), 100.0), 1.0)
+
+    def test_match_results_duplicate_detections_pick_best_add(
+        self, train_dataset
+    ):
+        """Two detections carry the same obj_id; the matcher must keep the
+        better-ADD one (reference base_dataset.py:242-255)."""
+        objs = train_dataset.gt_seq_pose_annots["000001"].objects(0)
+        rot, tr = objs["rotations"], objs["translations"]
+        # duplicate label 0: first copy is garbage, second is perfect
+        results = [dict(
+            pred=dict(
+                labels=np.array([0, 0, 1]),
+                rotations=np.stack([rot[0], rot[0], rot[1]]),
+                translations=np.stack(
+                    [tr[0] + 300.0, tr[0], tr[1]]
+                ),
+                scores=np.ones(3, np.float32),
+            ),
+            img_metas=dict(img_path=train_dataset.img_files[0]),
+        )]
+        out = train_dataset.evaluate(results, metric={"add": [0.05]})
+        assert out["average/add_05"] == 1.0
+
+    def test_match_results_unmatched_gt_counts_as_failure(self, train_dataset):
+        """A GT object with no detection must count as a miss, not be
+        dropped (valid=False row)."""
+        objs = train_dataset.gt_seq_pose_annots["000001"].objects(0)
+        rot, tr = objs["rotations"], objs["translations"]
+        results = [dict(
+            pred=dict(
+                labels=np.array([0]),  # object 1 undetected
+                rotations=rot[:1],
+                translations=tr[:1],
+                scores=np.ones(1, np.float32),
+            ),
+            img_metas=dict(img_path=train_dataset.img_files[0]),
+        )]
+        out = train_dataset.evaluate(results, metric={"add": [0.05]})
+        assert out["average/add_05"] == 0.5
+
+    def test_match_results_spurious_prediction_ignored(self, train_dataset):
+        """A detection of a valid class with no GT instance in the image
+        must be ignored, not crash or pollute the table (reference matches
+        GT->pred only).  Image 2 of the fixture has only object 1."""
+        objs = train_dataset.gt_seq_pose_annots["000001"].objects(2)
+        rot, tr = objs["rotations"], objs["translations"]
+        assert len(objs["obj_ids"]) == 1
+        results = [dict(
+            pred=dict(
+                labels=np.array([0, 1]),  # class 2 (label 1) is spurious
+                rotations=np.concatenate([rot, rot[:1]]),
+                translations=np.concatenate([tr, tr[:1] + 250.0]),
+                scores=np.ones(2, np.float32),
+            ),
+            img_metas=dict(img_path=train_dataset.img_files[2]),
+        )]
+        out = train_dataset.evaluate(results, metric={"add": [0.05]})
+        assert out["average/add_05"] == 1.0
+
+    def test_symmetric_adds_nn_matching_golden(self):
+        """Hand-computed ADD vs ADD-S: a 4-point square rotated by its own
+        90-degree symmetry.  Plain ADD = chord distance sqrt(2); NN-matched
+        ADD-S = 0 (reference base_dataset.py:378-424 knn semantics)."""
+        from scflow_tpu.datasets.base import BaseDataset
+
+        verts = np.array(
+            [[1, 1, 0], [1, -1, 0], [-1, -1, 0], [-1, 1, 0]], np.float64
+        )
+        Rz90 = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+        gt_r = np.eye(3)[None]
+        gt_t = np.array([[0.0, 0.0, 500.0]])
+        k = np.array([[[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]]])
+        labels = np.array([0])
+        args = ([verts], gt_t, gt_r, gt_t, Rz90[None], labels, k)
+        # symmetric class: NN matching collapses the rotation error to 0
+        e3n_s, _, e3_s = BaseDataset.eval_pose_error(
+            *args, {"cls_1": {"z": 90}}, [2.0 * np.sqrt(2)]
+        )
+        np.testing.assert_allclose(e3_s, 0.0, atol=1e-12)
+        # non-symmetric: every corner moves to the adjacent corner, chord
+        # length sqrt((1-(-1))^2 + 0)/... = sqrt(2^2+0^2)? corner (1,1) ->
+        # R@v = (-1,1): distance 2.  All four corners move by exactly 2.
+        e3n, _, e3 = BaseDataset.eval_pose_error(*args, {}, [2.0 * np.sqrt(2)])
+        np.testing.assert_allclose(e3, 2.0, atol=1e-12)
+        np.testing.assert_allclose(e3n, 2.0 / (2.0 * np.sqrt(2)), atol=1e-12)
 
     def test_format_results_bop_export(self, train_dataset, tmp_path):
         res = self._results(train_dataset)
