@@ -7,12 +7,25 @@ in the reference (test.py:116-120), but batched.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference repo publishes no numbers (BASELINE.md).  We use the
-driver north-star denominator: an A100 PyTorch reference estimated at
-~55 refinements/s (per-image ~18ms at batch 16 for render + 3 CNN passes +
-8 GRU iterations; consistent with the RAFT-family latency the reference
-prints per image).  vs_baseline = ours / 55.0 — i.e. the '5x' goal reads as
-vs_baseline >= 5.
+Baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is ANCHORED to a measured chain (BASELINE.md "Anchored A100
+denominator" for the full derivation and sensitivity):
+
+  1. workload = 37.54 GFLOP/refinement (XLA cost analysis of this exact
+     bench graph, batch 16, incl. on-device render);
+  2. measured: the full torch re-derivation of the reference network
+     (tests/torch_oracle.py::SCFlowRefinerTorch, fp32, batch 16) runs at
+     959.7 ms/refinement on this host's CPU, whose sustained fp32 GEMM is
+     0.1366 TFLOP/s (measured) -> the torch graph sustains 28.6% of the
+     host's GEMM rate;
+  3. assume the same sustained-GEMM fraction on an A100 (generous to the
+     reference: it also credits full cross-image batching, which the
+     shipped test protocol — samples_per_gpu=1 — cannot do, and ignores
+     its per-image python loops): A100 fp32 sustained GEMM
+     = 19.5 TFLOP/s peak x 0.9 = 17.55
+     -> 959.7 ms x 0.1366 / 17.55 = 7.47 ms/refinement = 134 ref/s.
+
+vs_baseline = ours / 134.0 — the '5x' north star reads as vs_baseline >= 5.
 """
 
 import json
@@ -20,7 +33,7 @@ import time
 
 import numpy as np
 
-A100_TORCH_REFINEMENTS_PER_SEC = 55.0
+A100_TORCH_REFINEMENTS_PER_SEC = 134.0
 
 
 def main():
