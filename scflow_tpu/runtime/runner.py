@@ -128,6 +128,25 @@ class EvalHook(Hook):
         msg = ", ".join(f"{k}: {v:.4f}" for k, v in sorted(metrics.items())[:12])
         runner.logger.info(f"Eval at iter {runner.step}: {msg}")
         runner.eval_history.append((runner.step, metrics))
+        # persist the FULL per-class metric tables across evals (the
+        # reference only prints them; a crash would lose the history)
+        if runner.work_dir:
+            import json as _json
+
+            with open(
+                __import__("os").path.join(runner.work_dir, "eval_history.json"),
+                "w",
+            ) as f:
+                _json.dump(
+                    [{"step": s, "metrics": m} for s, m in runner.eval_history],
+                    f, indent=1,
+                )
+        # eval scalars to tensorboard (reference EvalHook feeds the logger
+        # hooks via parse_metric_to_tensorboard)
+        for hook in runner.hooks:
+            if isinstance(hook, TensorboardHook):
+                for k, v in metrics.items():
+                    hook.writer.add_scalar(f"val/{k}", float(v), runner.step)
         if self.save_best and runner.ckpt_manager is not None:
             val = metrics.get(self.save_best)
             if val is not None and runner.ckpt_manager.maybe_save_best(
