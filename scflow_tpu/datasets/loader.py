@@ -110,7 +110,16 @@ class DataLoader:
             for _ in range(self.num_workers):
                 sample_q.put(None)
 
-        results: "queue.Queue" = queue.Queue()
+        # BOUNDED: this queue decouples workers from the batcher; unbounded
+        # it lets workers preprocess the infinite index stream far ahead of
+        # a slower consumer — measured ~65-85 MB/step RSS growth on CPU and
+        # a 116 GB blowup over 850 train steps on the TPU run.  The bound
+        # applies backpressure: workers block here, sample_q fills,
+        # producer blocks.
+        results: "queue.Queue" = queue.Queue(
+            maxsize=max(self.samples_per_step * (self.prefetch + 1),
+                        self.num_workers * 2)
+        )
 
         def worker():
             while not stop.is_set():
