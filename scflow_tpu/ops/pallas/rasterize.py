@@ -368,6 +368,77 @@ def _kernel_shaded_v2(active_ref, tri_ref, out_ref, *, fc: int, th: int,
     out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
 
 
+def _eval_chunk_value_carry(tri_ref, c, carry, *, fc: int, pxf, pyf,
+                            id_mask: int):
+    """One face-chunk of the value-carry depth/attr pass (shared by the v3
+    and v4 kernels): evaluate all fc faces of chunk c over the tile's pixels,
+    pick the packed-key winner, select its values/attrs, min-merge into the
+    carry."""
+    pack, vals, attrs = carry
+    start = pl.multiple_of(c * fc, 128)
+    blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
+    w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
+    w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
+    w2 = 1.0 - w0 - w1
+    zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
+    keybase = blk[9][:, None]
+    valid = blk[10][:, None] > 0.5
+    cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+    zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
+    packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
+    packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
+    chunk_min = jnp.min(packed, axis=0)  # (THW,)
+
+    sf = (packed == chunk_min[None, :]).astype(jnp.float32)
+    w0v = jnp.sum(sf * w0, axis=0)
+    w1v = jnp.sum(sf * w1, axis=0)
+    zv = jnp.sum(sf * zpix, axis=0)
+    idv = jnp.sum(sf * keybase, axis=0)
+    chunk_vals = jnp.stack(
+        [w0v, w1v, zv, idv,
+         jnp.zeros_like(zv), jnp.zeros_like(zv),
+         jnp.zeros_like(zv), jnp.zeros_like(zv)], axis=0
+    )  # (8, THW)
+    chunk_attrs = jax.lax.dot_general(
+        blk, sf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (32, THW); only attr rows 11-28 are consumed
+
+    better = chunk_min < pack
+    pack = jnp.where(better, chunk_min, pack)
+    vals = jnp.where(better[None, :], chunk_vals, vals)
+    attrs = jnp.where(better[None, :], chunk_attrs, attrs)
+    return pack, vals, attrs
+
+
+def _emit_maps(out_ref, pack, vals, attrs, th: int, tw: int):
+    """Final per-tile interpolation + output write (shared v3/v4)."""
+    fg = (pack != INT32_MAX).astype(jnp.float32)
+    w0 = vals[0]
+    w1 = vals[1]
+    w2 = 1.0 - w0 - w1
+    z = vals[2]
+
+    out = [z * fg, fg, vals[3]]
+    for a in range(3):
+        out.append(w0 * attrs[11 + a] + w1 * attrs[14 + a] + w2 * attrs[17 + a])
+    for a in range(3):
+        out.append(w0 * attrs[20 + a] + w1 * attrs[23 + a] + w2 * attrs[26 + a])
+    out += [w0 * fg, w1 * fg, w2 * fg]
+    out += [jnp.zeros_like(z)] * (16 - len(out))
+    out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
+
+
+def _tile_pixel_rows(th: int, tw: int):
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    return px.reshape(1, th * tw), py.reshape(1, th * tw)
+
+
 def _kernel_shaded_v3(counts_ref, order_ref, tri_ref, out_ref, *, fc: int,
                       th: int, tw: int, nc: int, id_mask: int):
     """_kernel_shaded_v2 with a compacted active-chunk list.
@@ -384,51 +455,13 @@ def _kernel_shaded_v3(counts_ref, order_ref, tri_ref, out_ref, *, fc: int,
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     tile = (n * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
-    y0 = (ty * th).astype(jnp.float32)
-    x0 = (tx * tw).astype(jnp.float32)
-    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
-    pxf = px.reshape(1, th * tw)
-    pyf = py.reshape(1, th * tw)
+    pxf, pyf = _tile_pixel_rows(th, tw)
     thw = th * tw
 
     def chunk_body(i, carry):
-        pack, vals, attrs = carry
         c = order_ref[tile * nc + i]
-        start = pl.multiple_of(c * fc, 128)
-        blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
-        w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
-        w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
-        w2 = 1.0 - w0 - w1
-        zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
-        keybase = blk[9][:, None]
-        valid = blk[10][:, None] > 0.5
-        cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
-        zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
-        packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
-        packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
-        chunk_min = jnp.min(packed, axis=0)  # (THW,)
-
-        sf = (packed == chunk_min[None, :]).astype(jnp.float32)
-        w0v = jnp.sum(sf * w0, axis=0)
-        w1v = jnp.sum(sf * w1, axis=0)
-        zv = jnp.sum(sf * zpix, axis=0)
-        idv = jnp.sum(sf * keybase, axis=0)
-        chunk_vals = jnp.stack(
-            [w0v, w1v, zv, idv,
-             jnp.zeros_like(zv), jnp.zeros_like(zv),
-             jnp.zeros_like(zv), jnp.zeros_like(zv)], axis=0
-        )  # (8, THW)
-        chunk_attrs = jax.lax.dot_general(
-            blk, sf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (32, THW)
-
-        better = chunk_min < pack
-        pack = jnp.where(better, chunk_min, pack)
-        vals = jnp.where(better[None, :], chunk_vals, vals)
-        attrs = jnp.where(better[None, :], chunk_attrs, attrs)
-        return pack, vals, attrs
+        return _eval_chunk_value_carry(tri_ref, c, carry, fc=fc, pxf=pxf,
+                                       pyf=pyf, id_mask=id_mask)
 
     init = (
         jnp.full((thw,), INT32_MAX, jnp.int32),
@@ -437,21 +470,7 @@ def _kernel_shaded_v3(counts_ref, order_ref, tri_ref, out_ref, *, fc: int,
     )
     m = counts_ref[tile]
     pack, vals, attrs = jax.lax.fori_loop(0, m, chunk_body, init)
-
-    fg = (pack != INT32_MAX).astype(jnp.float32)
-    w0 = vals[0]
-    w1 = vals[1]
-    w2 = 1.0 - w0 - w1
-    z = vals[2]
-
-    out = [z * fg, fg, vals[3]]
-    for a in range(3):
-        out.append(w0 * attrs[11 + a] + w1 * attrs[14 + a] + w2 * attrs[17 + a])
-    for a in range(3):
-        out.append(w0 * attrs[20 + a] + w1 * attrs[23 + a] + w2 * attrs[26 + a])
-    out += [w0 * fg, w1 * fg, w2 * fg]
-    out += [jnp.zeros_like(z)] * (16 - len(out))
-    out_ref[0] = jnp.stack([o.reshape(th, tw) for o in out], axis=0)
+    _emit_maps(out_ref, pack, vals, attrs, th, tw)
 
 
 @functools.partial(
@@ -496,6 +515,291 @@ def rasterize_shaded_pallas_v3(
         grid_spec=grid_spec,
         interpret=interpret,
     )(counts.reshape(-1), order.reshape(-1), tri)
+
+
+def _face_plane_coeffs(tri_xy, tri_z, face_valid):
+    """Per-face edge/z-plane coefficients (det-normalized, so the divide
+    happens once per face) + validity with orientation/degeneracy
+    (|det| <= 1e-9) and the near-plane test (min corner z > 1e-6) folded in.
+    Returns 10 arrays of shape (N, F)."""
+    ax, ay = tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1]
+    bx, by = tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1]
+    ccx, ccy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]
+    z0, z1, z2 = tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2]
+    det = (by - ccy) * (ax - ccx) + (ccx - bx) * (ay - ccy)
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    e0x = (by - ccy) * inv_det
+    e0y = (ccx - bx) * inv_det
+    e0c = -(e0x * ccx + e0y * ccy)
+    e1x = (ccy - ay) * inv_det
+    e1y = (ax - ccx) * inv_det
+    e1c = -(e1x * ccx + e1y * ccy)
+    dz0, dz1 = z0 - z2, z1 - z2
+    zx = e0x * dz0 + e1x * dz1
+    zy = e0y * dz0 + e1y * dz1
+    zc = z2 + e0c * dz0 + e1c * dz1
+    front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
+    valid_row = (face_valid & det_ok & front).astype(jnp.float32)
+    return e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row
+
+
+def _kernel_shaded_v4(sstart_ref, scount_ref, ovc_ref, ovo_ref, tri_ref,
+                      out_ref, *, fc: int, th: int, tw: int, nov: int,
+                      id_mask: int):
+    """Exact-binned variant: entries (face duplicates, one per covered tile)
+    are sorted by their assigned tile, so each tile's work is a CONTIGUOUS
+    chunk range [sstart, sstart+scount) — no activity mask at all for the
+    ~99% of faces whose bbox spans few tiles.  Faces spanning > dup tiles
+    live in an overflow segment evaluated via a compacted bbox-activity
+    list (ovc/ovo), exactly like the v3 kernel.  See pack_shaded_exact."""
+    n = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    tile = (n * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
+    pxf, pyf = _tile_pixel_rows(th, tw)
+    thw = th * tw
+
+    def seg_body(i, carry):
+        c = sstart_ref[tile] + i
+        return _eval_chunk_value_carry(tri_ref, c, carry, fc=fc, pxf=pxf,
+                                       pyf=pyf, id_mask=id_mask)
+
+    def ov_body(i, carry):
+        c = ovo_ref[tile * nov + i]
+        return _eval_chunk_value_carry(tri_ref, c, carry, fc=fc, pxf=pxf,
+                                       pyf=pyf, id_mask=id_mask)
+
+    init = (
+        jnp.full((thw,), INT32_MAX, jnp.int32),
+        jnp.zeros((8, thw), jnp.float32),
+        jnp.zeros((32, thw), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(0, scount_ref[tile], seg_body, init)
+    pack, vals, attrs = jax.lax.fori_loop(0, ovc_ref[tile], ov_body, carry)
+    _emit_maps(out_ref, pack, vals, attrs, th, tw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "fc", "id_bits",
+                              "interpret")
+)
+def rasterize_shaded_pallas_v4(
+    tri: jnp.ndarray,  # (N, 32, E) packed ENTRY rows (pack_shaded_exact)
+    seg_start: jnp.ndarray,  # (N, TY, TX) int32 first chunk of the tile
+    seg_count: jnp.ndarray,  # (N, TY, TX) int32 number of contiguous chunks
+    ov_counts: jnp.ndarray,  # (N, TY, TX) int32 active overflow chunks
+    ov_order: jnp.ndarray,  # (N, TY, TX, NOV) int32 overflow chunk ids
+    h: int,
+    w: int,
+    th: int = 8,
+    tw: int = 128,
+    fc: int = 128,
+    id_bits: int = 14,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-binned shaded rasterization (see _kernel_shaded_v4).  Same
+    16-channel output maps as rasterize_shaded_pallas, except channel 2
+    carries the sorted ENTRY id (map through the perm returned by
+    pack_shaded_exact to recover original face ids)."""
+    n = tri.shape[0]
+    ty, tx = h // th, w // tw
+    nov = ov_order.shape[-1]
+    kern = functools.partial(
+        _kernel_shaded_v4, fc=fc, th=th, tw=tw, nov=nov,
+        id_mask=(1 << id_bits) - 1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 32, tri.shape[-1]), lambda i, j, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, th, tw), lambda i, j, k, *_: (i, 0, j, k)),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 16, h, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seg_start.reshape(-1), seg_count.reshape(-1), ov_counts.reshape(-1),
+      ov_order.reshape(-1), tri)
+
+
+def pack_shaded_exact(
+    tri_xy: jnp.ndarray,  # (N, F, 3, 2) screen-space corners
+    tri_z: jnp.ndarray,  # (N, F, 3)
+    face_valid: jnp.ndarray,  # (N, F)
+    corner_attrs: jnp.ndarray,  # (N, F, 3, 6) per-corner [normal(3), color(3)]
+    h: int,
+    w: int,
+    th: int,
+    tw: int,
+    fc: int,
+    dup: int = 8,
+    sort_mode: str = "fused",  # 'fused' 1-op sort | 'two_op' variadic sort
+):
+    """Exact per-tile binning via bounded face duplication.
+
+    The chunk-bbox activity mask of pack_faces_and_bin leaves ~1.5-3x
+    face-tile over-evaluation at fc=128: a chunk of 128 center-sorted faces
+    has a bbox spanning several tiles, and every spanned tile evaluates the
+    whole chunk.  Here each face instead emits one ENTRY per tile its bbox
+    covers (row-major over its tile span, up to `dup` entries); entries sort
+    by assigned tile, so a tile's work is the contiguous chunk range
+    covering its entries — every chunk a tile evaluates is (mostly) faces
+    that actually touch it.  Faces spanning more than `dup` tiles fall back
+    to a single entry keyed after all tiles (an "overflow" segment) that
+    keeps the v3-style bbox-activity evaluation; dead/degenerate faces and
+    unused dup slots sort to the very end, outside every tile's range, and
+    are never evaluated.
+
+    Correctness does not depend on the classification: any entry evaluated
+    for any tile contributes its true face coverage, and duplicate
+    evaluations of one face at one pixel produce identical z with distinct
+    entry ids, so the packed-key min picks a deterministic winner with
+    identical attributes.  The only requirement is that every (face,
+    covered-tile) pair is evaluated at least once, which holds by
+    construction for both segments.
+
+    Returns (rows (N, 32, E), seg_start (N, TY, TX), seg_count (N, TY, TX),
+    ov_counts (N, TY, TX), ov_order (N, TY, TX, NOV), perm (N, E) int32
+    entry -> original face id).
+    """
+    import math as _math
+
+    n, f0 = face_valid.shape
+    tyc, txc = h // th, w // tw
+    T = tyc * txc
+    # dead entries sort after the exact segment [0, T) and the overflow
+    # segment [T, 2T); keep the sentinel small so a fused (key<<fbits | fid)
+    # single-operand sort stays in int32 (variadic TPU sorts cost ~2x)
+    DEAD = jnp.int32(2 * T)
+    fbits = max(1, _math.ceil(_math.log2(max(f0, 2))))
+    fused = sort_mode == "fused" and (2 * T + 1) < (1 << (31 - fbits))
+
+    (e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row) = _face_plane_coeffs(
+        tri_xy, tri_z, face_valid
+    )
+    xmin = tri_xy[..., 0].min(axis=2)
+    xmax = tri_xy[..., 0].max(axis=2)
+    ymin = tri_xy[..., 1].min(axis=2)
+    ymax = tri_xy[..., 1].max(axis=2)
+
+    on_screen = (xmax >= 0) & (xmin <= w - 1) & (ymax >= 0) & (ymin <= h - 1)
+    alive = (valid_row > 0.5) & on_screen
+    tx0 = jnp.clip(jnp.floor(xmin / tw), 0, txc - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(xmax / tw), 0, txc - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / th), 0, tyc - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / th), 0, tyc - 1).astype(jnp.int32)
+    ncx = tx1 - tx0 + 1
+    ndup = ncx * (ty1 - ty0 + 1)
+    overflow = alive & (ndup > dup)
+    normal = alive & (ndup <= dup)
+
+    # entry keys (N, F, dup): row-major enumeration of the face's tile span
+    d = jnp.arange(dup, dtype=jnp.int32)[None, None, :]
+    etile = (ty0[..., None] + d // ncx[..., None]) * txc + (
+        tx0[..., None] + d % ncx[..., None]
+    )
+    key = jnp.where(normal[..., None] & (d < ndup[..., None]), etile, DEAD)
+    # overflow faces: one entry keyed by center tile, after all exact tiles
+    cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th
+    cx = jnp.clip((xmin + xmax) * 0.5, 0, w - 1) // tw
+    ctile = (cy * txc + cx).astype(jnp.int32)
+    key = key.at[:, :, 0].set(
+        jnp.where(overflow, T + ctile, key[:, :, 0])
+    )
+    fid = jnp.broadcast_to(
+        jnp.arange(f0, dtype=jnp.int32)[None, :, None], (n, f0, dup)
+    )
+
+    e = f0 * dup
+    pad = (-e) % fc
+    key_flat = key.reshape(n, e)
+    fid_flat = fid.reshape(n, e)
+    if pad:
+        key_flat = jnp.concatenate(
+            [key_flat, jnp.full((n, pad), DEAD, jnp.int32)], axis=1)
+        fid_flat = jnp.concatenate(
+            [fid_flat, jnp.zeros((n, pad), jnp.int32)], axis=1)
+        e += pad
+    if fused:
+        combined = jnp.bitwise_or(
+            jnp.left_shift(key_flat, fbits), fid_flat)
+        sc = jax.lax.sort(combined, dimension=1)
+        sk = jnp.right_shift(sc, fbits)
+        sfid = jnp.bitwise_and(sc, jnp.int32((1 << fbits) - 1))
+    else:
+        sk, sfid = jax.lax.sort([key_flat, fid_flat], dimension=1,
+                                num_keys=1, is_stable=True)
+
+    # gather per-face data rows by sorted entry face id (whole-row gathers
+    # from the (N, F, C) table; the barrier keeps XLA from fusing them into
+    # consumers as element gathers).  Attr layout matches pack_shaded_and_bin:
+    # 9 corner-major normal components, then 9 colors.
+    ca = jnp.concatenate(
+        [corner_attrs[..., 0:3].reshape(n, f0, 9),
+         corner_attrs[..., 3:6].reshape(n, f0, 9)], axis=-1
+    )
+    fdata = jnp.stack(
+        [e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row], axis=-1
+    )  # (N, F, 10)
+    fdata = jnp.concatenate(
+        [fdata, ca, jnp.stack([xmin, xmax, ymin, ymax], axis=-1)], axis=-1
+    )  # (N, F, 32)
+    sorted_fd = jnp.take_along_axis(fdata, sfid[..., None], axis=1)
+    sorted_fd = jax.lax.optimization_barrier(sorted_fd)
+    sfdT = sorted_fd.transpose(0, 2, 1)  # (N, 32, E)
+
+    entry_id = jnp.broadcast_to(
+        jnp.arange(e, dtype=jnp.float32)[None, None, :], (n, 1, e))
+    rows = jnp.concatenate(
+        [
+            sfdT[:, 0:9],  # edge/z-plane coefficients
+            entry_id,  # row 9: sorted entry id
+            sfdT[:, 9:10],  # row 10: valid
+            sfdT[:, 10:28],  # rows 11-28: corner normals/colors
+            jnp.zeros((n, 3, e), jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 32, E)
+
+    # contiguous chunk range per tile from the sorted-key segment bounds
+    bounds = jax.vmap(
+        lambda a: jnp.searchsorted(a, jnp.arange(T + 1, dtype=jnp.int32))
+    )(sk).astype(jnp.int32)  # (N, T+1)
+    start = bounds[:, :-1]
+    end = bounds[:, 1:]
+    seg_start = (start // fc).reshape(n, tyc, txc)
+    seg_count = jnp.where(
+        end > start, (end - 1) // fc - start // fc + 1, 0
+    ).reshape(n, tyc, txc).astype(jnp.int32)
+
+    # overflow chunks: v3-style bbox activity, restricted to chunks holding
+    # overflow entries; non-overflow entries get inverted bboxes so they
+    # never inflate a chunk's bbox
+    is_ov = (sk >= T) & (sk < 2 * T)
+    big = jnp.float32(1e9)
+    oxmin = jnp.where(is_ov, sfdT[:, 28], big).reshape(n, e // fc, fc).min(2)
+    oxmax = jnp.where(is_ov, sfdT[:, 29], -big).reshape(n, e // fc, fc).max(2)
+    oymin = jnp.where(is_ov, sfdT[:, 30], big).reshape(n, e // fc, fc).min(2)
+    oymax = jnp.where(is_ov, sfdT[:, 31], -big).reshape(n, e // fc, fc).max(2)
+    tile_x0 = (jnp.arange(txc) * tw)[None, :, None]
+    tile_y0 = (jnp.arange(tyc) * th)[None, :, None]
+    hit_x = (oxmax[:, None] >= tile_x0) & (oxmin[:, None] <= tile_x0 + tw - 1)
+    hit_y = (oymax[:, None] >= tile_y0) & (oymin[:, None] <= tile_y0 + th - 1)
+    active_ov = (
+        hit_y[:, :, None, :] & hit_x[:, None, :, :]
+    ).astype(jnp.int32)  # (N, TY, TX, NCH)
+    # overflow entries number at most f0 (one per face), so they span at
+    # most f0/fc + 1 chunks; cap the compacted lists there
+    nov = min(e // fc, f0 // fc + 2)
+    ov_order = jnp.argsort(-active_ov, axis=-1, stable=True)[
+        ..., :nov].astype(jnp.int32)
+    ov_counts = jnp.minimum(jnp.sum(active_ov, axis=-1), nov).astype(jnp.int32)
+    return rows, seg_start, seg_count, ov_counts, ov_order, sfid
 
 
 def pack_faces_and_bin(
@@ -550,25 +854,9 @@ def pack_faces_and_bin(
     ymin = tri_xy[..., 1].min(axis=2)
     ymax = tri_xy[..., 1].max(axis=2)
 
-    ax, ay = tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1]
-    bx, by = tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1]
-    ccx, ccy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]
-    z0, z1, z2 = tri_z[:, :, 0], tri_z[:, :, 1], tri_z[:, :, 2]
-    det = (by - ccy) * (ax - ccx) + (ccx - bx) * (ay - ccy)
-    det_ok = jnp.abs(det) > 1e-9
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    e0x = (by - ccy) * inv_det
-    e0y = (ccx - bx) * inv_det
-    e0c = -(e0x * ccx + e0y * ccy)
-    e1x = (ccy - ay) * inv_det
-    e1y = (ax - ccx) * inv_det
-    e1c = -(e1x * ccx + e1y * ccy)
-    dz0, dz1 = z0 - z2, z1 - z2
-    zx = e0x * dz0 + e1x * dz1
-    zy = e0y * dz0 + e1y * dz1
-    zc = z2 + e0c * dz0 + e1c * dz1
-    front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
-    valid_row = (face_valid & det_ok & front).astype(jnp.float32)
+    (e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row) = _face_plane_coeffs(
+        tri_xy, tri_z, face_valid
+    )
 
     # sort by tile of the bbox center (y-major); invalid faces sort last
     cy = jnp.clip((ymin + ymax) * 0.5, 0, h - 1) // th

@@ -27,16 +27,21 @@ from scflow_tpu.render.shading import shade_phong
 
 def _render_pallas(
     verts_cam, normals_cam, colors, faces, face_valid, K, labels, h, w,
-    light_cam,
+    light_cam, version: int = 3,
 ):
     """Fused raster+shade path: one Pallas kernel produces depth/mask and
     interpolated normal/color maps (no per-pixel gathers); Phong lighting is
-    pure elementwise with surface positions reconstructed from depth rays."""
+    pure elementwise with surface positions reconstructed from depth rays.
+
+    version 3: chunk-bbox activity binning; version 4: exact per-tile entry
+    binning (pack_shaded_exact)."""
     import math as _math
 
     from scflow_tpu.ops.pallas.rasterize import (
         pack_shaded_and_bin,
+        pack_shaded_exact,
         rasterize_shaded_pallas_v3,
+        rasterize_shaded_pallas_v4,
     )
     from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
     from scflow_tpu.render.shading import phong_lighting
@@ -57,13 +62,23 @@ def _render_pallas(
     # the per-tile coverage work ~2x vs fc=512 (the v2 cond-per-chunk floor);
     # chunk starts must be 128-lane aligned so this is also the minimum
     fc = 128
-    rows, active, perm = pack_shaded_and_bin(
-        tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
-    )
-    id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
-    maps = rasterize_shaded_pallas_v3(
-        rows, active, h, w, th=th, tw=tw, fc=fc, id_bits=id_bits
-    )  # (N, 16, H, W)
+    if version == 4:
+        rows, seg_start, seg_count, ov_counts, ov_order, _ = pack_shaded_exact(
+            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
+        )
+        id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
+        maps = rasterize_shaded_pallas_v4(
+            rows, seg_start, seg_count, ov_counts, ov_order, h, w,
+            th=th, tw=tw, fc=fc, id_bits=id_bits,
+        )  # (N, 16, H, W)
+    else:
+        rows, active, perm = pack_shaded_and_bin(
+            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
+        )
+        id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
+        maps = rasterize_shaded_pallas_v3(
+            rows, active, h, w, th=th, tw=tw, fc=fc, id_bits=id_bits
+        )  # (N, 16, H, W)
     depths = maps[:, 0]
     fg = maps[:, 1] > 0.5
     nrm = maps[:, 3:6].transpose(0, 2, 3, 1)
@@ -83,7 +98,7 @@ def _render_pallas(
 
 @partial(jax.jit, static_argnames=(
     "h", "w", "chunk", "flat_shading", "backend", "shading",
-    "seperate_lights", "default_lights",
+    "seperate_lights", "default_lights", "raster_version",
 ))
 def render_batch(
     bank_verts: jnp.ndarray,  # (C, V, 3)
@@ -104,6 +119,7 @@ def render_batch(
     shading: str = "phong",  # 'phong' | 'flat' | 'gouraud' (xla backend)
     seperate_lights: bool = True,
     default_lights: bool = True,
+    raster_version: int = 3,  # pallas backend: 3 = chunk-bbox, 4 = exact bin
 ) -> Dict[str, jnp.ndarray]:
     from scflow_tpu.utils.platform import resolve_backend
 
@@ -144,7 +160,7 @@ def render_batch(
     if backend == "pallas" and h % 8 == 0 and w % 128 == 0:
         return _render_pallas(
             verts_cam, normals_cam, colors, faces, face_valid, K, labels,
-            h, w, light_cam,
+            h, w, light_cam, version=raster_version,
         )
 
     fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)

@@ -12,10 +12,12 @@ import pytest
 from scflow_tpu.ops.pallas.rasterize import (
     pack_faces_and_bin,
     pack_shaded_and_bin,
+    pack_shaded_exact,
     pick_face_chunk,
     rasterize_packed_pallas,
     rasterize_shaded_pallas,
     rasterize_shaded_pallas_v3,
+    rasterize_shaded_pallas_v4,
 )
 from scflow_tpu.render.meshbank import make_synthetic_bank
 from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen, rasterize
@@ -154,3 +156,66 @@ def test_shaded_v3_matches_v1(scene):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v1), atol=1e-4)
+
+
+def _corner_attrs(scene):
+    attr6 = jnp.concatenate([scene["normals_cam"], scene["colors"]], axis=-1)
+    return jnp.stack(
+        [jnp.take_along_axis(attr6, scene["faces"][:, :, j][..., None], axis=1)
+         for j in range(3)],
+        axis=2,
+    )
+
+
+def _run_v3_v4(scene, img, dup, sort_mode="fused"):
+    corner_attrs = _corner_attrs(scene)
+    xy, z = project_to_screen(scene["verts_cam"], scene["K"])
+    tri_xy, tri_z = _gather_tri(xy, z, scene["faces"])
+    fc = 128
+    rows3, active, perm3 = pack_shaded_and_bin(
+        tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img, 8, 128, fc
+    )
+    id_bits3 = max(1, math.ceil(math.log2(max(rows3.shape[-1], 2))))
+    v3 = rasterize_shaded_pallas_v3(
+        rows3, active, img, img, th=8, tw=128, fc=fc, id_bits=id_bits3,
+        interpret=True,
+    )
+    rows4, seg_start, seg_count, ov_counts, ov_order, perm4 = pack_shaded_exact(
+        tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img, 8, 128,
+        fc, dup=dup, sort_mode=sort_mode,
+    )
+    id_bits4 = max(1, math.ceil(math.log2(max(rows4.shape[-1], 2))))
+    v4 = rasterize_shaded_pallas_v4(
+        rows4, seg_start, seg_count, ov_counts, ov_order, img, img,
+        th=8, tw=128, fc=fc, id_bits=id_bits4, interpret=True,
+    )
+    return v3, perm3, id_bits3, v4, perm4, id_bits4
+
+
+@pytest.mark.parametrize("dup,sort_mode", [(8, "fused"), (1, "fused"),
+                                           (8, "two_op")])
+def test_shaded_v4_exact_binning_matches_v3(scene, dup, sort_mode):
+    """The exact-binned kernel (v4) must produce the same fragment maps as
+    v3 for every channel except the raw entry-id (2), and the same ORIGINAL
+    winner faces through its perm.  dup=1 forces nearly every face through
+    the overflow segment, covering the bbox-activity fallback path;
+    sort_mode covers both the fused single-operand entry sort and the
+    variadic fallback."""
+    img = scene["img"]
+    v3, perm3, idb3, v4, perm4, idb4 = _run_v3_v4(scene, img, dup, sort_mode)
+    a, b = np.asarray(v3), np.asarray(v4)
+    # depth/mask exact; attrs can flip only on exact packed-key z-ties
+    np.testing.assert_array_equal(b[:, 1], a[:, 1])
+    d = np.abs(b[:, 0] - a[:, 0])
+    assert (d > 1e-3).mean() < 2e-3
+    for ch in list(range(3, 12)):
+        assert (np.abs(b[:, ch] - a[:, ch]) > 1e-3).mean() < 2e-3, ch
+    # winner original-face ids agree (away from z-tie pixels)
+    fg = a[:, 1] > 0.5
+    fid3 = np.take_along_axis(
+        np.asarray(perm3), a[:, 2].astype(np.int64).reshape(a.shape[0], -1), 1
+    ).reshape(a[:, 2].shape)
+    fid4 = np.take_along_axis(
+        np.asarray(perm4), b[:, 2].astype(np.int64).reshape(b.shape[0], -1), 1
+    ).reshape(b[:, 2].shape)
+    assert (fid3[fg] != fid4[fg]).mean() < 2e-3
