@@ -48,7 +48,11 @@ def main():
     from scflow_tpu.refiners.system import RenderAssets, make_scflow_infer_fn
     from scflow_tpu.render.meshbank import make_synthetic_bank
 
-    batch = 16
+    # batch 64 is the measured fp32 throughput knee (docs/PERFORMANCE.md
+    # batch-scaling table: 520.9/s @16, 520.1 @32, 582.0 @64); the
+    # per-refinement baseline denominator is batch-independent and already
+    # credits the reference with full cross-image batching (BASELINE.md)
+    batch = 64
     img = 256
     iters = 8
     nclass = 21
@@ -116,7 +120,7 @@ def main():
             {
                 "metric": "scflow_refinements_per_sec_per_chip",
                 "value": round(refinements_per_sec, 2),
-                "unit": "refinements/s (256x256, 8 GRU iters, incl. on-device render)",
+                "unit": "refinements/s (256x256, 8 GRU iters, batch 64, incl. on-device render)",
                 "vs_baseline": round(
                     refinements_per_sec / A100_TORCH_REFINEMENTS_PER_SEC, 3
                 ),
