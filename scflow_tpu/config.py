@@ -109,6 +109,45 @@ class Config(ConfigDict):
             merged = deep_merge(merged, Config._load(b_path))
         return deep_merge(merged, cfg_dict)
 
+    @staticmethod
+    def parse_option_value(v: str) -> Any:
+        """Parse one `--cfg-options k=v` value with mmcv DictAction semantics
+        (`test.py:41-46`): python literals stay literals, anything unparseable
+        is a plain string (so `model.dtype=bf16` works unquoted), and a
+        top-level comma makes a tuple."""
+        import ast
+
+        def atom(s: str) -> Any:
+            try:
+                return ast.literal_eval(s)
+            except (ValueError, SyntaxError):
+                return s
+
+        s = v.strip()
+        # a top-level comma (outside brackets/quotes) -> tuple of atoms
+        depth, in_q, parts, cur = 0, "", [], []
+        for ch in s:
+            if in_q:
+                cur.append(ch)
+                if ch == in_q:
+                    in_q = ""
+                continue
+            if ch in "\"'":
+                in_q = ch
+            elif ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        if parts:
+            parts.append("".join(cur))
+            return tuple(atom(p.strip()) for p in parts)
+        return atom(s)
+
     def merge_from_dict(self, options: Dict[str, Any]):
         """Apply CLI overrides like {'model.decoder.iters': 4} (mmcv DictAction
         equivalent, `test.py:41-46`)."""

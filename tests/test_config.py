@@ -1,0 +1,35 @@
+"""Config system unit tests: CLI override parsing (mmcv DictAction
+semantics, ref `test.py:41-46`) and dotted-key merging."""
+
+from scflow_tpu.config import Config
+
+
+def test_parse_option_value_literals_and_strings():
+    p = Config.parse_option_value
+    assert p("4") == 4
+    assert p("0.5") == 0.5
+    assert p("True") is True
+    assert p("None") is None
+    assert p("[1, 2]") == [1, 2]
+    assert p("(256, 256)") == (256, 256)
+    # DictAction behavior: unparseable values are plain strings, so
+    # `--cfg-options model.dtype=bf16` works without shell quoting
+    assert p("bf16") == "bf16"
+    assert p("'bf16'") == "bf16"
+    # top-level comma -> tuple; quoted/bracketed commas do not split
+    assert p("1,2") == (1, 2)
+    assert p("a,b") == ("a", "b")
+    assert p("[1,2],[3,4]") == ([1, 2], [3, 4])
+    assert p("'a,b'") == "a,b"
+
+
+def test_merge_from_dict_dotted_keys():
+    cfg = Config({"model": {"dtype": None, "decoder": {"iters": 8}}})
+    cfg.merge_from_dict({
+        "model.dtype": Config.parse_option_value("bf16"),
+        "model.decoder.iters": Config.parse_option_value("4"),
+        "data.samples_per_gpu": Config.parse_option_value("2"),
+    })
+    assert cfg["model"]["dtype"] == "bf16"
+    assert cfg["model"]["decoder"]["iters"] == 4
+    assert cfg["data"]["samples_per_gpu"] == 2

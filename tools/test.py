@@ -8,7 +8,6 @@ with the --out flag actually defined — SURVEY.md §2.4 item 1):
 """
 
 import argparse
-import ast
 import json
 import os
 import sys
@@ -65,7 +64,7 @@ def main():
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(
-            {k: ast.literal_eval(v) for k, v in
+            {k: Config.parse_option_value(v) for k, v in
              (opt.split("=", 1) for opt in args.cfg_options)}
         )
     np.random.seed(args.seed)
@@ -117,7 +116,7 @@ def main():
         )
         if args.eval_options:
             metric = {
-                k: ast.literal_eval(v) for k, v in
+                k: Config.parse_option_value(v) for k, v in
                 (opt.split("=", 1) for opt in args.eval_options)
             }
         metrics = dataset.evaluate(results, metric=metric)

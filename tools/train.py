@@ -10,7 +10,6 @@ is samples_per_gpu * n_devices (torch DDP-equivalent semantics).
 """
 
 import argparse
-import ast
 import os
 import sys
 
@@ -81,7 +80,7 @@ def main():
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(
-            {k: ast.literal_eval(v) for k, v in
+            {k: Config.parse_option_value(v) for k, v in
              (opt.split("=", 1) for opt in args.cfg_options)}
         )
     work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
