@@ -1,0 +1,291 @@
+"""Console entry points (`scflow-train` / `scflow-test`).
+
+These hold the full CLI bodies; `tools/train.py` and `tools/test.py` are
+thin shims over them so both invocation styles behave identically
+(reference CLI semantics: `train.py:19-44`, `test.py:20-49`, with the
+`--out` flag actually defined — SURVEY.md §2.4 item 1).
+
+Platform setup (`apply_env_platform` + the persistent compilation cache)
+runs inside each entry point BEFORE jax is imported, mirroring the
+script-level ordering the shims relied on.
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def _setup_platform():
+    from scflow_tpu.utils.platform import (apply_env_platform,
+                                           enable_compilation_cache)
+
+    apply_env_platform()
+    enable_compilation_cache()
+
+
+def parse_train_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a pose refiner")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None, type=int,
+                   help="checkpoint step to resume from (default: latest)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in work_dir")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--max-iters", default=None, type=int)
+    p.add_argument("--num-workers", default=None, type=int)
+    p.add_argument("--nan-check", action="store_true")
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="'jax' (or env SCFLOW_DIST=1) initializes "
+                        "jax.distributed for multi-host runs")
+    p.add_argument("--profile-steps", default=0, type=int,
+                   help="capture a jax.profiler trace of N steps "
+                        "(starting at step 10) into WORK_DIR/profile")
+    p.add_argument("--cfg-options", nargs="*", default=[],
+                   help="override config entries, key=value")
+    return p.parse_args(argv)
+
+
+def train_main(argv=None):
+    args = parse_train_args(argv)
+    _setup_platform()
+    import jax
+
+    from scflow_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.launcher)
+    from scflow_tpu.apis import (
+        build_eval_fn,
+        build_loss_assets,
+        build_render_assets,
+        build_tb_image_fn,
+        init_model_variables,
+        load_init_weights,
+        make_train_step_from_cfg,
+    )
+    from scflow_tpu.config import Config
+    from scflow_tpu.datasets import DataLoader, build_dataset
+    from scflow_tpu.parallel import make_mesh, replicate
+    from scflow_tpu.refiners import build_refiner_from_config
+    from scflow_tpu.runtime import (
+        CheckpointHook,
+        EvalHook,
+        IterRunner,
+        TensorboardHook,
+        TextLoggerHook,
+        TrainState,
+        build_optimizer,
+    )
+    from scflow_tpu.utils.logging import get_logger, timestamped_log_file
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(
+            {k: Config.parse_option_value(v) for k, v in
+             (opt.split("=", 1) for opt in args.cfg_options)}
+        )
+    work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config_dump.py"))
+    logger = get_logger("scflow_tpu", timestamped_log_file(work_dir))
+    logger.info(f"jax devices: {jax.devices()}")
+
+    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    model = build_refiner_from_config(cfg.model)
+    render_assets, bank = build_render_assets(cfg.model)
+    loss_assets = build_loss_assets(cfg.model, bank.num_class)
+
+    variables = init_model_variables(cfg.model, model, image_size, seed=args.seed)
+    variables = load_init_weights(cfg.model, variables, logger)
+
+    max_iters = args.max_iters or cfg.runner["max_iters"]
+    lr_cfg = dict(cfg.get("lr_config", {}))
+    if args.max_iters and lr_cfg.get("policy") == "OneCycle":
+        lr_cfg["total_steps"] = max_iters + 100
+    grad_clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get("max_norm")
+    tx, schedule = build_optimizer(dict(cfg.optimizer), lr_cfg, grad_clip)
+    state = TrainState.create(variables["params"], tx, variables.get("batch_stats"))
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    per_dev = cfg.data.get("samples_per_gpu", 16)
+    global_batch = per_dev * n_dev
+    local_batch = global_batch // jax.process_count()
+    logger.info(
+        f"{n_dev} devices / {jax.process_count()} processes, "
+        f"global batch {global_batch} (local {local_batch})"
+    )
+
+    train_set = build_dataset(cfg.data["train"])
+    loader = DataLoader(
+        train_set,
+        samples_per_step=local_batch,
+        num_workers=args.num_workers or cfg.data.get("workers_per_gpu", 8),
+        seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    train_step = make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
+                                          image_size)
+
+    hooks = [TextLoggerHook(cfg.get("log_config", {}).get("interval", 50))]
+    if args.profile_steps:
+        from scflow_tpu.runtime import ProfileHook
+
+        hooks.append(
+            ProfileHook(os.path.join(work_dir, "profile"),
+                        num_steps=args.profile_steps)
+        )
+    hooks.append(CheckpointHook(cfg.get("checkpoint_config", {}).get("interval", 10000)))
+    for hcfg in cfg.get("log_config", {}).get("hooks", []):
+        if hcfg.get("type", "").startswith("Tensorboard"):
+            hooks.append(
+                TensorboardHook(
+                    os.path.join(work_dir, "tb"),
+                    interval=cfg.get("log_config", {}).get("interval", 50),
+                    image_interval=hcfg.get("interval", 0),
+                    image_fn=build_tb_image_fn(cfg, model, render_assets,
+                                               image_size),
+                )
+            )
+    eval_cfg = cfg.get("evaluation")
+    if eval_cfg and "val" in cfg.data:
+        try:
+            val_set = build_dataset(cfg.data["val"])
+            hooks.append(
+                EvalHook(
+                    build_eval_fn(cfg, model, render_assets, val_set, image_size),
+                    interval=eval_cfg.get("interval", 5000),
+                    save_best=eval_cfg.get("save_best"),
+                    rule=eval_cfg.get("rule", "greater"),
+                )
+            )
+        except (FileNotFoundError, OSError) as e:
+            logger.warning(f"val dataset unavailable ({e}); skipping EvalHook")
+
+    from scflow_tpu.parallel import shard_batch
+
+    def put_batch(batch):
+        return shard_batch(batch, mesh)
+
+    with mesh:
+        state = replicate(state, mesh)
+        runner = IterRunner(
+            train_step, state, loader, max_iters, work_dir=work_dir,
+            hooks=hooks, lr_schedule=schedule, put_batch=put_batch,
+            logger=logger, nan_check=args.nan_check,
+        )
+        if args.resume or args.resume_from is not None:
+            runner.resume(args.resume_from)
+        runner.run()
+
+
+def parse_test_args(argv=None):
+    p = argparse.ArgumentParser(description="Test a pose refiner")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--format-only", action="store_true")
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--out", default=None, help="dump raw results json")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--limit", default=None, type=int,
+                   help="evaluate only the first N images (smoke runs)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--eval-options", nargs="*", default=[])
+    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+                   help="'jax' (or env SCFLOW_DIST=1) initializes "
+                        "jax.distributed for multi-host runs")
+    return p.parse_args(argv)
+
+
+def test_main(argv=None):
+    args = parse_test_args(argv)
+    _setup_platform()
+    import numpy as np
+
+    from scflow_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.launcher)
+    from scflow_tpu.apis import (
+        build_render_assets,
+        init_model_variables,
+        load_eval_checkpoint,
+        make_infer_from_cfg,
+    )
+    from scflow_tpu.config import Config
+    from scflow_tpu.datasets import build_dataset
+    from scflow_tpu.refiners import build_refiner_from_config
+    from scflow_tpu.runtime.eval_loop import multi_process_test
+    from scflow_tpu.utils.logging import get_logger
+
+    logger = get_logger("scflow_tpu")
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(
+            {k: Config.parse_option_value(v) for k, v in
+             (opt.split("=", 1) for opt in args.cfg_options)}
+        )
+    np.random.seed(args.seed)
+
+    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    model = build_refiner_from_config(cfg.model)
+    render_assets, _ = build_render_assets(cfg.model)
+    variables = init_model_variables(cfg.model, model, image_size)
+    variables = load_eval_checkpoint(args.checkpoint, variables, cfg.model, logger)
+
+    dataset = build_dataset(cfg.data["test"])
+    if args.limit:
+        dataset.img_files = dataset.img_files[: args.limit]
+
+    infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
+                                                  image_size)
+    t0 = time.perf_counter()
+    test_cfg = cfg.model.get("test_cfg", {})
+    results = multi_process_test(
+        variables, infer, dataset, pose_from_output=pose_from_output,
+        logger=logger,
+        max_bucket=test_cfg.get("max_bucket", 64),
+        fixed_bucket=test_cfg.get("fixed_bucket", False),
+    )
+    total = time.perf_counter() - t0
+    logger.info(f"{len(results)} images in {total:.1f}s "
+                f"({total / max(len(results), 1) * 1e3:.1f} ms/img)")
+
+    if args.out:
+        serializable = [
+            dict(
+                pred={k: np.asarray(v).tolist() for k, v in r["pred"].items()},
+                img_metas=r["img_metas"],
+            )
+            for r in results
+        ]
+        with open(args.out, "w") as f:
+            json.dump(serializable, f)
+        logger.info(f"wrote raw results to {args.out}")
+
+    if args.format_only:
+        assert args.save_dir, "--format-only requires --save-dir"
+        dataset.format_results(results, args.save_dir,
+                               time=total / max(len(results), 1))
+        logger.info(f"BOP-format results saved to {args.save_dir}")
+    if args.eval:
+        metric = cfg.get("evaluation", {}).get(
+            "metric", {"add": [0.05, 0.10, 0.20, 0.50], "rep": [2, 5, 10, 20]}
+        )
+        if args.eval_options:
+            metric = {
+                k: Config.parse_option_value(v) for k, v in
+                (opt.split("=", 1) for opt in args.eval_options)
+            }
+        metrics = dataset.evaluate(results, metric=metric)
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        out_json = os.path.join(
+            cfg.get("work_dir", "work_dirs/default"), f"eval_{ts}.json"
+        )
+        os.makedirs(os.path.dirname(out_json), exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=1)
+        logger.info(f"eval metrics dumped to {out_json}")
