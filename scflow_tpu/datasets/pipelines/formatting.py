@@ -37,6 +37,26 @@ class Compose:
         return f"Compose(\n{inner}\n)"
 
 
+@PIPELINES.register_module("CopyFields")
+class CopyFields:
+    """Copy result fields src[i] -> dst[i] (deep-copied arrays).
+
+    Used by pipeline surgery (`tools/browse_dataset.py --skip-types
+    PoseJitter`): skipping the jitter must still seed the `ref_*` pose
+    fields the downstream transforms consume, i.e. ref = gt."""
+
+    def __init__(self, src: Sequence[str], dst: Sequence[str]):
+        assert len(src) == len(dst)
+        self.src = list(src)
+        self.dst = list(dst)
+
+    def __call__(self, results: Dict) -> Dict:
+        for s, d in zip(self.src, self.dst):
+            v = results[s]
+            results[d] = np.copy(v) if isinstance(v, np.ndarray) else v
+        return results
+
+
 @PIPELINES.register_module("ToArray")
 @PIPELINES.register_module("ToTensor")  # config-name compatibility
 class ToArray:

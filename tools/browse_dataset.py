@@ -38,9 +38,17 @@ def main():
     cfg = Config.fromfile(args.config)
     dcfg = dict(cfg.data[args.split])
     if args.skip_types:
-        dcfg["pipeline"] = [
-            t for t in dcfg["pipeline"] if t.get("type") not in args.skip_types
-        ]
+        pipeline = []
+        for t in dcfg["pipeline"]:
+            if t.get("type") not in args.skip_types:
+                pipeline.append(t)
+            elif "jittered_pose_field" in t and "jitter_pose_field" in t:
+                # skipping a PoseJitter-style transform must still seed its
+                # output pose fields for the downstream transforms: ref = gt
+                pipeline.append(dict(type="CopyFields",
+                                     src=list(t["jitter_pose_field"]),
+                                     dst=list(t["jittered_pose_field"])))
+        dcfg["pipeline"] = pipeline
     dataset = build_dataset(dcfg)
     os.makedirs(args.out_dir, exist_ok=True)
 
