@@ -81,10 +81,7 @@ def train_main(argv=None):
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
-        cfg.merge_from_dict(
-            {k: Config.parse_option_value(v) for k, v in
-             (opt.split("=", 1) for opt in args.cfg_options)}
-        )
+        cfg.merge_from_dict(Config.parse_options(args.cfg_options))
     work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, "config_dump.py"))
@@ -224,10 +221,7 @@ def test_main(argv=None):
     logger = get_logger("scflow_tpu")
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
-        cfg.merge_from_dict(
-            {k: Config.parse_option_value(v) for k, v in
-             (opt.split("=", 1) for opt in args.cfg_options)}
-        )
+        cfg.merge_from_dict(Config.parse_options(args.cfg_options))
     np.random.seed(args.seed)
 
     image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
@@ -276,10 +270,7 @@ def test_main(argv=None):
             "metric", {"add": [0.05, 0.10, 0.20, 0.50], "rep": [2, 5, 10, 20]}
         )
         if args.eval_options:
-            metric = {
-                k: Config.parse_option_value(v) for k, v in
-                (opt.split("=", 1) for opt in args.eval_options)
-            }
+            metric = Config.parse_options(args.eval_options)
         metrics = dataset.evaluate(results, metric=metric)
         ts = time.strftime("%Y%m%d_%H%M%S")
         out_json = os.path.join(

@@ -118,6 +118,10 @@ class Config(ConfigDict):
         import ast
 
         def atom(s: str) -> Any:
+            if s.lower() == "true":
+                return True
+            if s.lower() == "false":
+                return False
             try:
                 return ast.literal_eval(s)
             except (ValueError, SyntaxError):
@@ -147,6 +151,19 @@ class Config(ConfigDict):
             parts.append("".join(cur))
             return tuple(atom(p.strip()) for p in parts)
         return atom(s)
+
+    @staticmethod
+    def parse_options(opts) -> Dict[str, Any]:
+        """Parse a `--cfg-options`/`--eval-options` list of 'key=value'
+        strings into a merge_from_dict-ready dict."""
+        parsed = {}
+        for opt in opts:
+            if "=" not in opt:
+                raise ValueError(
+                    f"malformed option {opt!r} (expected key=value)")
+            k, v = opt.split("=", 1)
+            parsed[k] = Config.parse_option_value(v)
+        return parsed
 
     def merge_from_dict(self, options: Dict[str, Any]):
         """Apply CLI overrides like {'model.decoder.iters': 4} (mmcv DictAction

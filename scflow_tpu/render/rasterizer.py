@@ -63,6 +63,18 @@ def _bary(px, py, x0, y0, x1, y1, x2, y2):
     return w0, w1, w2, det_ok
 
 
+def gather_corner_attrs(attrs, faces):
+    """Gather per-vertex attributes (N, V, C) to per-face corners
+    (N, F, 3, C).  Shared by the renderer, the Pallas parity tool, and the
+    raster tests so the corner-attr layout consumed by
+    `pack_shaded_and_bin`/`pack_shaded_exact` cannot silently diverge."""
+    return jnp.stack(
+        [jnp.take_along_axis(attrs, faces[:, :, j][..., None], axis=1)
+         for j in range(3)],
+        axis=2,
+    )
+
+
 def _gather_tri(xy, z, faces):
     tri_xy = jnp.stack(
         [jnp.take_along_axis(xy, faces[:, :, j][..., None], axis=1) for j in range(3)],

@@ -43,20 +43,16 @@ def _render_pallas(
         rasterize_shaded_pallas_v3,
         rasterize_shaded_pallas_v4,
     )
-    from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
+    from scflow_tpu.render.rasterizer import (_gather_tri,
+                                              gather_corner_attrs,
+                                              project_to_screen)
     from scflow_tpu.render.shading import phong_lighting
 
     n = verts_cam.shape[0]
     xy, z = project_to_screen(verts_cam, K)
     tri_xy, tri_z = _gather_tri(xy, z, faces)
     attr6 = jnp.concatenate([normals_cam, colors], axis=-1)  # (N, V, 6)
-    corner_attrs = jnp.stack(
-        [
-            jnp.take_along_axis(attr6, faces[:, :, j][..., None], axis=1)
-            for j in range(3)
-        ],
-        axis=2,
-    )  # (N, F, 3, 6)
+    corner_attrs = gather_corner_attrs(attr6, faces)  # (N, F, 3, 6)
     th, tw = 8, 128
     # fc=128 with the v3 compacted-active-list kernel: fine chunk bboxes cut
     # the per-tile coverage work ~2x vs fc=512 (the v2 cond-per-chunk floor);

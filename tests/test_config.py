@@ -9,6 +9,9 @@ def test_parse_option_value_literals_and_strings():
     assert p("4") == 4
     assert p("0.5") == 0.5
     assert p("True") is True
+    assert p("true") is True
+    assert p("False") is False
+    assert p("false") is False
     assert p("None") is None
     assert p("[1, 2]") == [1, 2]
     assert p("(256, 256)") == (256, 256)

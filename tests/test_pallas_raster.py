@@ -20,7 +20,8 @@ from scflow_tpu.ops.pallas.rasterize import (
     rasterize_shaded_pallas_v4,
 )
 from scflow_tpu.render.meshbank import make_synthetic_bank
-from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen, rasterize
+from scflow_tpu.render.rasterizer import (_gather_tri, gather_corner_attrs,
+                                          project_to_screen, rasterize)
 
 
 @pytest.fixture(scope="module")
@@ -160,11 +161,7 @@ def test_shaded_v3_matches_v1(scene):
 
 def _corner_attrs(scene):
     attr6 = jnp.concatenate([scene["normals_cam"], scene["colors"]], axis=-1)
-    return jnp.stack(
-        [jnp.take_along_axis(attr6, scene["faces"][:, :, j][..., None], axis=1)
-         for j in range(3)],
-        axis=2,
-    )
+    return gather_corner_attrs(attr6, scene["faces"])
 
 
 def _run_v3_v4(scene, img, dup, sort_mode="fused"):

@@ -95,7 +95,8 @@ def kernel_versions():
         rasterize_shaded_pallas_v3,
     )
     from scflow_tpu.render.meshbank import make_synthetic_bank
-    from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
+    from scflow_tpu.render.rasterizer import (_gather_tri, gather_corner_attrs,
+                                              project_to_screen)
 
     assert jax.default_backend() == "tpu", "run this on a TPU"
     from scipy.spatial.transform import Rotation
@@ -120,9 +121,7 @@ def kernel_versions():
         "nij,nvj->nvi", R, jnp.asarray(bank.normals)[labels])
     attr6 = jnp.concatenate(
         [normals_cam, jnp.asarray(bank.colors)[labels]], axis=-1)
-    corner_attrs = jnp.stack(
-        [jnp.take_along_axis(attr6, faces[:, :, j][..., None], axis=1)
-         for j in range(3)], axis=2)
+    corner_attrs = gather_corner_attrs(attr6, faces)
     xy, z = project_to_screen(verts_cam, K)
     tri_xy, tri_z = _gather_tri(xy, z, faces)
     fc = pick_face_chunk(faces.shape[1])
@@ -168,7 +167,8 @@ def v4_timing(batch=16, img=256, rounds=50):
         rasterize_shaded_pallas_v4,
     )
     from scflow_tpu.render.meshbank import make_synthetic_bank
-    from scflow_tpu.render.rasterizer import _gather_tri, project_to_screen
+    from scflow_tpu.render.rasterizer import (_gather_tri, gather_corner_attrs,
+                                              project_to_screen)
 
     assert jax.default_backend() == "tpu", "run this on a TPU"
     from scipy.spatial.transform import Rotation
@@ -193,9 +193,7 @@ def v4_timing(batch=16, img=256, rounds=50):
         "nij,nvj->nvi", R, jnp.asarray(bank.normals)[labels])
     attr6 = jnp.concatenate(
         [normals_cam, jnp.asarray(bank.colors)[labels]], axis=-1)
-    corner_attrs = jnp.stack(
-        [jnp.take_along_axis(attr6, faces[:, :, j][..., None], axis=1)
-         for j in range(3)], axis=2)
+    corner_attrs = gather_corner_attrs(attr6, faces)
     xy, z = project_to_screen(verts_cam, K)
     tri_xy, tri_z = _gather_tri(xy, z, faces)
     th, tw, fc = 8, 128, 128

@@ -91,7 +91,10 @@ def main():
 
 
 def profile_full():
-    """Time the exact bench inference path and its halves."""
+    """Time the exact bench inference path and its halves.
+
+    PROFILE_BATCH env overrides the batch (default 16) — used to check the
+    stage split at the batch-64 headline configuration."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from scflow_tpu.refiners import SCFlowRefiner
@@ -100,6 +103,8 @@ def profile_full():
     import functools
 
     batch, img, iters, nclass = 16, 256, 8, 21
+    batch = int(os.environ.get("PROFILE_BATCH", batch))
+    print(f"[profile_full] batch={batch}")
     bank = make_synthetic_bank(nclass, kind="cube", size=80.0)
     ra = RenderAssets.from_bank(bank)
     model = SCFlowRefiner(iters=iters, detach_depth_for_xy=True,
