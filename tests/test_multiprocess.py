@@ -71,8 +71,12 @@ def test_two_process_sharded_train_step_matches_single_process():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     ref = subprocess.run(
         [sys.executable, "-c",
-         "from scflow_tpu.utils.platform import enable_compilation_cache; "
-         "enable_compilation_cache(); "
+         # apply_env_platform makes JAX_PLATFORMS=cpu stick at the config
+         # level — the sitecustomize's forced 'axon,cpu' otherwise hangs
+         # backend init whenever the remote-TPU tunnel is down
+         "from scflow_tpu.utils.platform import apply_env_platform, "
+         "enable_compilation_cache; "
+         "apply_env_platform(); enable_compilation_cache(); "
          "import __graft_entry__ as g; g._dryrun_multichip_body(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
