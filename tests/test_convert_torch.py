@@ -258,3 +258,46 @@ class TestDecoderPieces:
             rot_t, trans_t = tm(to_nchw(x), torch.from_numpy(label))
         np.testing.assert_allclose(np.asarray(rot_f), rot_t.numpy(), atol=2e-4)
         np.testing.assert_allclose(np.asarray(trans_f), trans_t.numpy(), atol=2e-4)
+
+
+class TestRAFTFamilyE2E:
+    def test_full_raft_e2e_parity(self, key):
+        """Whole-network fp32 parity for the SECOND model family:
+        torch-oracle RAFTRefinerFlowMask (fp64) -> convert state dict ->
+        flax RAFTRefinerFlowMask forward.  Covers what the layer tests
+        cannot: the iteration loop composition (flow detach, delta
+        accumulation), the shared 0.25-scaled convex-upsample mask applied
+        to both flow (x8) and sigmoid occlusion (x1), and the tanh/relu
+        context split."""
+        from torch_oracle import RAFTRefinerFlowMaskTorch
+
+        from scflow_tpu.refiners import RAFTRefinerFlowMask
+
+        rng = np.random.default_rng(7)
+        n, img, iters = 2, 128, 3
+        tm = RAFTRefinerFlowMaskTorch(iters=iters).eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        fmodel = RAFTRefinerFlowMask(iters=iters)
+        real = rng.normal(size=(n, img, img, 3)).astype(np.float32) * 0.3
+        render = rng.normal(size=(n, img, img, 3)).astype(np.float32) * 0.3
+
+        variables = fmodel.init(key, jnp.asarray(render), jnp.asarray(real))
+        conv = convert_state_dict_to_variables(
+            sd, jax.tree_util.tree_map(np.asarray, variables)
+        )
+        out_f = fmodel.apply(
+            {k: conv[k] for k in variables}, jnp.asarray(render),
+            jnp.asarray(real),
+        )
+
+        tm = tm.double()
+        with torch.no_grad():
+            out_t = tm(to_nchw(render).double(), to_nchw(real).double())
+
+        flow_f = np.asarray(out_f["flow"]).transpose(0, 1, 4, 2, 3)
+        np.testing.assert_allclose(
+            flow_f, out_t["flow"].numpy(), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(out_f["occlusion"]), out_t["occlusion"].numpy(),
+            atol=2e-3)

@@ -487,3 +487,86 @@ class MultiClassPoseHeadTorch(nn.Module):
         rot = rot[torch.arange(len(idx)), idx]
         trans = trans[torch.arange(len(idx)), idx]
         return rot, trans
+
+
+def convex_upsample_torch(x, mask, scale=8, multiplier=None):
+    """Reference learned convex upsampling (raft_decoder.py:392-412):
+    softmax over the 9 grid taps, unfold 3x3, per-subpixel blend."""
+    if multiplier is None:
+        multiplier = float(scale)
+    n, c, h, w = x.shape
+    m = mask.view(n, 1, 9, scale, scale, h, w)
+    m = torch.softmax(m, dim=2)
+    up = F.unfold(multiplier * x, [3, 3], padding=1).view(
+        n, c, 9, 1, 1, h, w)
+    up = torch.sum(m * up, dim=2).permute(0, 1, 4, 2, 5, 3)
+    return up.reshape(n, c, scale * h, scale * w)
+
+
+class RAFTDecoderTorch(nn.Module):
+    """Reference RAFTDecoder/RAFTDecoderMask forward (raft_decoder.py:299-456,
+    raft_decoder_mask.py:21-208): per iteration detach flow -> corr lookup ->
+    motion encoder -> GRU -> delta flow; convex-upsample each iteration's
+    flow (x8) and sigmoid occlusion (x1) with the shared learned mask.
+    mmcv naming: encoder, gru, flow_pred, mask_pred, occlusion_pred."""
+
+    def __init__(self, num_levels=4, radius=4, iters=3,
+                 predict_occlusion=True, mask_channels=64):
+        super().__init__()
+        self.num_levels = num_levels
+        self.radius = radius
+        self.iters = iters
+        self.predict_occlusion = predict_occlusion
+        self.encoder = MotionEncoderTorch(num_levels, radius)
+        self.gru = ConvGRUTorch()
+        self.flow_pred = XHeadTorch(128, 256, 2, kind="flow")
+        self.mask_pred = XHeadTorch(
+            128, 256, mask_channels * (2 * radius + 1), kind="mask")
+        if predict_occlusion:
+            self.occlusion_pred = XHeadTorch(128, 256, 1, kind="mask")
+
+    def forward(self, feat1, feat2, flow, h, cxt):
+        pyramid = corr_pyramid_torch(feat1, feat2, self.num_levels)
+        upflows, upoccs = [], []
+        for _ in range(self.iters):
+            flow = flow.detach()
+            corr = corr_lookup_torch(pyramid, flow, self.radius)
+            mfeat = self.encoder(corr, flow)
+            x = torch.cat([cxt, mfeat], dim=1)
+            h = self.gru(h, x)
+            delta = self.flow_pred(h)
+            flow = flow + delta
+            mask = 0.25 * self.mask_pred(h)
+            upflows.append(convex_upsample_torch(flow, mask, 8, multiplier=8.0))
+            if self.predict_occlusion:
+                occ = torch.sigmoid(self.occlusion_pred(h))
+                upoccs.append(
+                    convex_upsample_torch(occ, mask, 8, multiplier=1.0))
+        out = {"flow": torch.stack(upflows, dim=0)}
+        if self.predict_occlusion:
+            out["occlusion"] = torch.stack(upoccs, dim=0)[:, :, 0]
+        return out
+
+
+class RAFTRefinerFlowMaskTorch(nn.Module):
+    """Full reference RAFTRefinerFlowMask network (raft_refiner_flow.py +
+    raft_refiner_flow_mask.py network part): shared IN feature encoder + BN
+    context encoder (tanh/relu split) + RAFT decoder.  Module names match
+    the checkpoint layout consumed by runtime/convert_torch.py."""
+
+    def __init__(self, iters=3, predict_occlusion=True):
+        super().__init__()
+        self.render_encoder = RAFTEncoderTorch(256, norm="IN")
+        self.context = RAFTEncoderTorch(256, norm="BN")
+        self.decoder = RAFTDecoderTorch(
+            iters=iters, predict_occlusion=predict_occlusion)
+
+    def forward(self, render_images, real_images):
+        feat_render = self.render_encoder(render_images)
+        feat_real = self.render_encoder(real_images)
+        cxt = self.context(render_images)
+        h = torch.tanh(cxt[:, :128])
+        cxt_feat = torch.relu(cxt[:, 128:])
+        n, _, hf, wf = feat_real.shape
+        flow0 = torch.zeros((n, 2, hf, wf), dtype=feat_real.dtype)
+        return self.decoder(feat_render, feat_real, flow0, h, cxt_feat)
