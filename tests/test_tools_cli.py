@@ -96,3 +96,64 @@ def test_visualize_with_trained_checkpoint(workspace):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert list(out_dir.rglob("*.png")) + list(out_dir.rglob("*.jpg")), \
         f"no overlays written under {out_dir}"
+
+
+@pytest.mark.slow
+def test_mmflow_ckpt_converter_cli(workspace, tmp_path):
+    """Drive the README quickstart's first step: a synthetic mmflow-layout
+    RAFT checkpoint (single 'encoder.' + 'cxt_encoder.', built from the
+    torch oracle) -> tools/mmflow_ckpt_converter.py -> orbax params +
+    duplicated-encoder .pth.  Asserts the converted flax params carry the
+    source weights exactly (OIHW -> HWIO stem conv spot check)."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from torch_oracle import RAFTRefinerFlowMaskTorch
+
+    root, info = workspace
+    tm = RAFTRefinerFlowMaskTorch(iters=2).eval()
+    sd = tm.state_dict()
+    mmflow_sd = {}
+    for k, v in sd.items():
+        if k.startswith("render_encoder."):
+            mmflow_sd["encoder." + k[len("render_encoder."):]] = v
+        elif k.startswith("context."):
+            mmflow_sd["cxt_encoder." + k[len("context."):]] = v
+        else:
+            mmflow_sd[k] = v
+    src = tmp_path / "mmflow_raft.pth"
+    torch.save({"state_dict": mmflow_sd}, str(src))
+
+    cfg = root / "raft_conv.py"
+    cfg.write_text(
+        CONFIG_TMPL.format(
+            root=str(root / "data"), diameters=info["diameters"],
+            work_dir=str(tmp_path / "w"), model_type="RAFTRefinerFlowMask",
+            decoder_type="RAFTDecoderMask",
+        )
+    )
+    out_dir = tmp_path / "flax_params"
+    dup_pth = tmp_path / "dup.pth"
+    r = run([sys.executable, "tools/mmflow_ckpt_converter.py", str(src),
+             "--config", str(cfg), "--out", str(out_dir),
+             "--save-torch", str(dup_pth)])
+    assert r.returncode == 0, (r.stdout + r.stderr)[-4000:]
+    assert out_dir.exists()
+
+    # duplicated torch layout has both encoder copies + renamed context
+    dup = torch.load(str(dup_pth), map_location="cpu",
+                     weights_only=False)["state_dict"]
+    assert any(k.startswith("render_encoder.") for k in dup)
+    assert any(k.startswith("real_encoder.") for k in dup)
+    assert any(k.startswith("context.") for k in dup)
+
+    # converted flax params hold the source stem conv (OIHW -> HWIO)
+    from scflow_tpu.runtime import load_params
+
+    params = load_params(str(out_dir))
+    stem_t = mmflow_sd["encoder.conv1.weight"].numpy()
+    stem_f = np.asarray(
+        params["params"]["render_encoder"]["stem_conv"]["kernel"])
+    np.testing.assert_allclose(stem_f, stem_t.transpose(2, 3, 1, 0),
+                               atol=0)
