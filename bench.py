@@ -103,15 +103,16 @@ def main():
         "labels": labels,
     }
 
-    # warmup / compile
+    # warmup / compile; sync via host fetch — on the remote-TPU backend
+    # block_until_ready does not reliably wait, a device_get does
     out = infer(variables, bdict)
-    jax.block_until_ready(out["rotations"])
+    float(np.asarray(jax.device_get(out["rotations"])).sum())
 
     n_rounds = 20
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         out = infer(variables, bdict)
-    jax.block_until_ready(out["rotations"])
+    float(np.asarray(jax.device_get(out["rotations"])).sum())
     dt = time.perf_counter() - t0
 
     refinements_per_sec = batch * n_rounds / dt

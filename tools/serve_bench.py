@@ -104,12 +104,14 @@ def main():
             jax.device_put(K, sh),
             jax.device_put(labels, sh),
         ]
+        # sync via host fetch — on the remote-TPU backend block_until_ready
+        # does not reliably wait, a device_get does
         out = serve(variables, *batch_args)
-        jax.block_until_ready(out["rotations"])
+        float(np.asarray(jax.device_get(out["rotations"])).sum())
         t0 = time.perf_counter()
         for _ in range(args.rounds):
             out = serve(variables, *batch_args)
-        jax.block_until_ready(out["rotations"])
+        float(np.asarray(jax.device_get(out["rotations"])).sum())
         dt = time.perf_counter() - t0
 
     total = P * args.rounds / dt
