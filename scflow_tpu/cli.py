@@ -100,8 +100,12 @@ def train_main(argv=None):
     lr_cfg = dict(cfg.get("lr_config", {}))
     if args.max_iters and lr_cfg.get("policy") == "OneCycle":
         lr_cfg["total_steps"] = max_iters + 100
-    grad_clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get("max_norm")
-    tx, schedule = build_optimizer(dict(cfg.optimizer), lr_cfg, grad_clip)
+    opt_config = cfg.get("optimizer_config", {})
+    grad_clip = opt_config.get("grad_clip", {}).get("max_norm")
+    tx, schedule = build_optimizer(
+        dict(cfg.optimizer), lr_cfg, grad_clip,
+        frozen_prefixes=opt_config.get("frozen_prefixes"),
+    )
     state = TrainState.create(variables["params"], tx, variables.get("batch_stats"))
 
     mesh = make_mesh()

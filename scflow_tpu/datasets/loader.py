@@ -14,6 +14,13 @@ from typing import Any, Callable, Dict, Iterator, List
 import numpy as np
 
 
+class _WorkerError:
+    """Carries a worker-thread exception to the consuming generator."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def collate_batch(samples: List[Dict], train: bool = True) -> Dict[str, np.ndarray]:
     """Flatten per-image object patches into one dense batch (the reference
     does this inside format_data_*, base_refiner.py:85-91,146-151).
@@ -102,13 +109,36 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # all blocking queue ops go through these: a thread parked in a
+        # plain put()/get() never observes `stop`, so abandoning the
+        # iterator (generator close -> finally below) would leak every
+        # blocked daemon thread plus its in-flight sample
+        _cancelled = object()
+
+        def _put(q, item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _get(q):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            return _cancelled
+
         def producer():
             for idx in idx_stream:
-                if stop.is_set():
+                if not _put(sample_q, idx):
                     return
-                sample_q.put(idx)
             for _ in range(self.num_workers):
-                sample_q.put(None)
+                if not _put(sample_q, None):
+                    return
 
         # BOUNDED: this queue decouples workers from the batcher; unbounded
         # it lets workers preprocess the infinite index stream far ahead of
@@ -123,27 +153,40 @@ class DataLoader:
 
         def worker():
             while not stop.is_set():
-                idx = sample_q.get()
-                if idx is None:
-                    results.put(None)
+                idx = _get(sample_q)
+                if idx is _cancelled:
                     return
-                results.put(self.dataset[idx])
+                if idx is None:
+                    _put(results, None)
+                    return
+                try:
+                    item = self.dataset[idx]
+                except Exception as exc:  # propagate instead of a silent
+                    _put(results, _WorkerError(exc))  # daemon-thread death
+                    return
+                _put(results, item)
 
         def batcher():
             done_workers = 0
             buf = []
             while done_workers < self.num_workers and not stop.is_set():
-                item = results.get()
+                item = _get(results)
+                if item is _cancelled:
+                    return
+                if isinstance(item, _WorkerError):
+                    _put(out_q, item)
+                    return
                 if item is None:
                     done_workers += 1
                     continue
                 buf.append(item)
                 if len(buf) == self.samples_per_step:
-                    out_q.put(self.collate_fn(buf))
+                    if not _put(out_q, self.collate_fn(buf)):
+                        return
                     buf = []
-            if buf and not self.drop_last:
-                out_q.put(self.collate_fn(buf))
-            out_q.put(None)
+            if buf and not self.drop_last and not stop.is_set():
+                _put(out_q, self.collate_fn(buf))
+            _put(out_q, None)
 
         threads = [threading.Thread(target=producer, daemon=True)]
         threads += [
@@ -158,6 +201,10 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, _WorkerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed"
+                    ) from batch.exc
                 yield batch
         finally:
             stop.set()

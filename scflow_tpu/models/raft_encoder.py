@@ -41,8 +41,14 @@ def _downsample_branch(x, out_ch, stride, norm, avg_down, dtype, train):
     (V1d) a stride-s avg-pool precedes a stride-1 conv, shifting the torch
     Sequential indices to downsample.1/.2 (flax names avgdown_*)."""
     if avg_down and stride != 1:
+        # reference pools with ceil_mode=True + count_include_pad=False
+        # (resnet.py:716-720): pad the high edges up to a multiple of the
+        # stride and exclude the padding from each window's divisor, so odd
+        # spatial sizes keep matching the main branch's ceil(H/s) shape
+        ph = (-x.shape[1]) % stride
+        pw = (-x.shape[2]) % stride
         x = nn.avg_pool(x, (stride, stride), strides=(stride, stride),
-                        count_include_pad=False)
+                        padding=((0, ph), (0, pw)), count_include_pad=False)
         x = nn.Conv(out_ch, (1, 1), use_bias=True, dtype=dtype,
                     name="avgdown_conv")(x)
         return _Norm(norm, name="avgdown_norm")(x, train)

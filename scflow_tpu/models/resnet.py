@@ -63,19 +63,23 @@ class ResNet(nn.Module):
         stem_ch = self.stem_channels or self.base_channels
         expansion = block_cls.expansion
 
+        # frozen stages run with eval-mode norms (reference _freeze_stages
+        # calls .eval(), resnet.py:613-629): without this, BN batch_stats of
+        # a "frozen" stage would keep updating from new data in train mode
+        stem_train = train and self.frozen_stages < 0
         if self.deep_stem:
             half = stem_ch // 2
             for j, (ch, s) in enumerate(((half, 2), (half, 1), (stem_ch, 1))):
                 x = nn.Conv(ch, (3, 3), strides=(s, s),
                             padding=((1, 1), (1, 1)), use_bias=False,
                             dtype=self.dtype, name=f"stem{3 * j}")(x)
-                x = _Norm(self.norm, name=f"stem{3 * j + 1}")(x, train)
+                x = _Norm(self.norm, name=f"stem{3 * j + 1}")(x, stem_train)
                 x = nn.relu(x)
         else:
             x = nn.Conv(stem_ch, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
-            x = _Norm(self.norm, name="norm1")(x, train)
+            x = _Norm(self.norm, name="norm1")(x, stem_train)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:
@@ -85,6 +89,7 @@ class ResNet(nn.Module):
         inplanes = stem_ch
         for i, num_blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2**i
+            stage_train = train and self.frozen_stages < i + 1
             for b in range(num_blocks):
                 s = self.strides[i] if b == 0 else 1
                 need_ds = (s != 1) or (inplanes != planes * expansion)
@@ -93,7 +98,7 @@ class ResNet(nn.Module):
                     norm=self.norm, with_downsample=need_ds,
                     avg_down=self.avg_down, dtype=self.dtype,
                     name=f"stage{i + 1}_block{b}",
-                )(x, train)
+                )(x, stage_train)
                 inplanes = planes * expansion
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)

@@ -205,8 +205,10 @@ def corr_lookup_dispatch(
     a custom VJP whose backward is the XLA tent formulation).
     'auto' resolves to pallas on TPU, xla elsewhere."""
     backend = resolve_lookup_backend(backend)
-    if backend == "pallas" and any(
-        m.ndim == 4 and m.shape[1] != m.shape[2] for m in pyramid
+    if backend == "pallas" and (
+        any(m.ndim == 4 and m.shape[1] != m.shape[2] for m in pyramid)
+        or (flow.shape[1] != flow.shape[2]
+            and any(m.ndim == 2 for m in pyramid))
     ):
         backend = "xla"  # the fused kernel's index math assumes square maps
     if backend == "pallas":
@@ -214,18 +216,22 @@ def corr_lookup_dispatch(
 
         return corr_lookup_pallas_diff(tuple(pyramid), flow, radius)
     if backend == "xla":
-        # accept flat (B, S*S) levels too (correlation_pyramid_flat), so the
-        # dispatch is layout-agnostic regardless of which backend built the
-        # pyramid
+        # accept flat (B, Hl*Wl) levels too (correlation_pyramid_flat), so
+        # the dispatch is layout-agnostic regardless of which backend built
+        # the pyramid; (Hl, Wl) of level l is the flow resolution halved l
+        # times (the flat layout itself carries no geometry, and a sqrt
+        # guess would mis-fold non-square maps)
+        h0, w0 = flow.shape[1], flow.shape[2]
         levels = []
-        for m in pyramid:
+        for lvl, m in enumerate(pyramid):
             if m.ndim == 2:
-                s = int(round(m.shape[1] ** 0.5))
-                if s * s != m.shape[1]:
+                hl, wl = h0 >> lvl, w0 >> lvl
+                if hl * wl != m.shape[1]:
                     raise ValueError(
-                        f"flat pyramid level has non-square size {m.shape[1]}"
+                        f"flat pyramid level {lvl} has size {m.shape[1]}, "
+                        f"expected {hl}x{wl} from the {h0}x{w0} flow"
                     )
-                m = m.reshape(m.shape[0], s, s, 1)
+                m = m.reshape(m.shape[0], hl, wl, 1)
             levels.append(m)
         return corr_lookup(levels, flow, radius)
     raise KeyError(f"unknown corr-lookup backend {backend!r}")

@@ -35,6 +35,7 @@ def build_optimizer(
     optimizer_cfg: Dict[str, Any],
     lr_cfg: Optional[Dict[str, Any]] = None,
     grad_clip: Optional[float] = None,
+    frozen_prefixes: Optional[Any] = None,
 ):
     """Build an optax chain from reference-style config dicts.
 
@@ -42,6 +43,13 @@ def build_optimizer(
                     'weight_decay':...}
     lr_cfg: {'policy': 'OneCycle', 'max_lr':..., 'total_steps':...,
              'pct_start':..., 'anneal_strategy':...} or None (constant lr)
+    frozen_prefixes: '/'-joined param-path prefixes to freeze (the
+        optimizer analog of the reference's requires_grad=False,
+        resnet.py:613-629): those leaves get ZERO updates — in particular
+        AdamW's decoupled weight decay cannot shrink them, which a
+        stop_gradient alone does not prevent.  Pair with the model-side
+        `frozen_stages` (stop_gradient + eval-mode norms); configure via
+        `optimizer_config.frozen_prefixes`.
     """
     if lr_cfg and lr_cfg.get("policy") == "OneCycle":
         schedule = onecycle_lr(
@@ -73,6 +81,28 @@ def build_optimizer(
     else:
         raise KeyError(opt_type)
 
+    if frozen_prefixes:
+        prefixes = tuple(frozen_prefixes)
+
+        def _mask(frozen: bool):
+            def fn(params):
+                from flax import traverse_util
+
+                flat = traverse_util.flatten_dict(params)
+                return traverse_util.unflatten_dict({
+                    k: ("/".join(k).startswith(prefixes)) == frozen
+                    for k in flat
+                })
+
+            return fn
+
+        # trainable leaves get the optimizer; frozen leaves' updates are
+        # forced to zero (their grads are already zero via stop_gradient,
+        # but adamw's decay term is grad-independent)
+        tx = optax.chain(
+            optax.masked(tx, _mask(False)),
+            optax.masked(optax.set_to_zero(), _mask(True)),
+        )
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx, schedule

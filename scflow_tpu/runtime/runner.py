@@ -7,8 +7,10 @@ crash-safe checkpoint cadence.  All device work stays inside the train step;
 hooks only consume host copies of the logs.
 """
 
+import json
 import os
 import time
+import warnings
 from collections import deque
 from typing import Any, Callable, Dict, Iterable, List, Optional
 
@@ -131,20 +133,16 @@ class EvalHook(Hook):
         # persist the FULL per-class metric tables across evals (the
         # reference only prints them; a crash would lose the history)
         if runner.work_dir:
-            import json as _json
-
-            with open(
-                __import__("os").path.join(runner.work_dir, "eval_history.json"),
-                "w",
-            ) as f:
-                _json.dump(
+            with open(os.path.join(runner.work_dir, "eval_history.json"),
+                      "w") as f:
+                json.dump(
                     [{"step": s, "metrics": m} for s, m in runner.eval_history],
                     f, indent=1,
                 )
         # eval scalars to tensorboard (reference EvalHook feeds the logger
         # hooks via parse_metric_to_tensorboard)
         for hook in runner.hooks:
-            if isinstance(hook, TensorboardHook):
+            if isinstance(hook, TensorboardHook) and hook.writer is not None:
                 for k, v in metrics.items():
                     hook.writer.add_scalar(f"val/{k}", float(v), runner.step)
         if self.save_best and runner.ckpt_manager is not None:
@@ -163,14 +161,31 @@ class TensorboardHook(Hook):
 
     def __init__(self, log_dir: str, interval: int = 50, image_interval: int = 0,
                  image_fn: Optional[Callable] = None):
-        from tensorboardX import SummaryWriter
-
-        self.writer = SummaryWriter(log_dir)
+        # tensorboardX is an optional extra ([tb] in pyproject) while the
+        # shipped configs enable this hook unconditionally — degrade to a
+        # no-op writer instead of crashing the train entry point
+        try:
+            from tensorboardX import SummaryWriter
+        except ImportError:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError:
+                SummaryWriter = None
+        if SummaryWriter is None:
+            warnings.warn(
+                "tensorboardX not installed (pip install scflow-tpu[tb]); "
+                "TensorboardHook disabled"
+            )
+            self.writer = None
+        else:
+            self.writer = SummaryWriter(log_dir)
         self.interval = interval
         self.image_interval = image_interval
         self.image_fn = image_fn
 
     def after_train_iter(self, runner):
+        if self.writer is None:
+            return
         if runner.step % self.interval == 0:
             for k, v in runner.last_log.items():
                 self.writer.add_scalar(f"train/{k}", float(v), runner.step)
@@ -184,7 +199,8 @@ class TensorboardHook(Hook):
                 self.writer.add_image(name, img, runner.step, dataformats="HWC")
 
     def after_run(self, runner):
-        self.writer.close()
+        if self.writer is not None:
+            self.writer.close()
 
 
 class IterRunner:

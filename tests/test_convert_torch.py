@@ -65,19 +65,25 @@ class TestEncoderConversion:
             out_t = to_nhwc(tmodel(to_nchw(x)))
         np.testing.assert_allclose(np.asarray(out_f), out_t, atol=2e-4)
 
-    @pytest.mark.parametrize("depth,v1d", [(18, False), (50, True)])
-    def test_full_resnet_parity(self, key, rng, depth, v1d):
+    @pytest.mark.parametrize(
+        "depth,v1d,size",
+        [(18, False, 64), (50, True, 64), (50, True, 70)],
+    )
+    def test_full_resnet_parity(self, key, rng, depth, v1d, size):
         """Full ResNet/ResNetV1d backbone (reference resnet.py:306-773):
         converted torch weights reproduce all four stage outputs, incl. the
         bias=True downsample projection and the V1d deep-stem/avg-down
-        layout."""
+        layout.  size=70 drives odd feature maps through the stride-2
+        stages, exercising the avg-down ceil_mode=True emulation (the
+        reference pools with ceil_mode=True + count_include_pad=False,
+        resnet.py:716-720)."""
         from scflow_tpu.models.resnet import ResNet, ResNetV1d
         from torch_oracle import ResNetTorch
 
         tm = ResNetTorch(depth=depth, deep_stem=v1d, avg_down=v1d).eval()
         fcls = ResNetV1d if v1d else ResNet
         fm = fcls(depth=depth)
-        x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        x = rng.normal(size=(2, size, size, 3)).astype(np.float32)
         variables = fm.init(key, jnp.asarray(x))
         sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
         conv = convert_state_dict_to_variables(

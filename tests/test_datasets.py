@@ -205,6 +205,41 @@ class TestTrainDataset:
     def test_census_table(self, train_dataset):
         assert "valid_sample_num" in train_dataset.total_sample_num
 
+    def test_loader_abandon_reclaims_threads(self, train_dataset):
+        """Closing the iterator mid-epoch must unblock and retire every
+        loader thread (workers parked in a bounded queue put() would
+        otherwise leak, pinning their in-flight samples)."""
+        import threading
+        import time
+
+        base = threading.active_count()
+        loader = DataLoader(train_dataset, samples_per_step=1, num_workers=2,
+                            infinite=True, shuffle=False, prefetch=1)
+        it = iter(loader)
+        next(it)
+        assert threading.active_count() > base
+        it.close()  # generator finally -> stop.set()
+        deadline = time.time() + 10
+        while threading.active_count() > base and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() == base
+
+    def test_loader_propagates_worker_error(self, train_dataset):
+        """A worker exception surfaces as RuntimeError in the consumer
+        instead of a silent daemon-thread death + hang."""
+
+        class Broken:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, idx):
+                raise ValueError("corrupt sample")
+
+        loader = DataLoader(Broken(), samples_per_step=2, num_workers=2,
+                            infinite=False, shuffle=False)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            next(iter(loader))
+
 
 class TestEvaluation:
     def _results(self, train_dataset, noise=0.0):

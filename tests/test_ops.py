@@ -190,6 +190,29 @@ class TestCorrelation:
         got = np.asarray(corr_lookup_dispatch(pyrf, flow, 2, backend="xla"))
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_dispatch_flat_nonsquare(self, rng):
+        """NON-square flat levels must fold back via the flow geometry, not
+        a sqrt guess (h=8, w=32 gives h*w=256 — a perfect square that a
+        sqrt-based reshape would silently mis-fold to 16x16); the explicit
+        'pallas' backend must also fall back to xla for them (the fused
+        kernel's index math assumes square maps)."""
+        from scflow_tpu.ops.corr import (
+            correlation_pyramid_flat,
+            corr_lookup_dispatch,
+        )
+
+        n, h, w, c = 2, 8, 32, 16
+        f1 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        flow = jnp.asarray(rng.normal(size=(n, h, w, 2)).astype(np.float32) * 2)
+        pyr4 = correlation_pyramid(f1, f2, 3)
+        pyrf = correlation_pyramid_flat(f1, f2, 3)
+        want = np.asarray(corr_lookup_dispatch(pyr4, flow, 2, backend="xla"))
+        got = np.asarray(corr_lookup_dispatch(pyrf, flow, 2, backend="xla"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        got_p = np.asarray(corr_lookup_dispatch(pyrf, flow, 2, backend="pallas"))
+        np.testing.assert_allclose(got_p, want, atol=1e-4)
+
     def test_pallas_lookup_gradients_match_xla(self, rng):
         """The custom VJP (XLA tent-formulation backward) matches autodiff
         of the XLA lookup for both the correlation maps and the flow."""

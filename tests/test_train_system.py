@@ -267,3 +267,97 @@ class TestInstanceNormBF16:
             m.apply(v, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32)
         )
         np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+class TestFrozenParams:
+    def test_frozen_prefixes_block_weight_decay(self):
+        """AdamW's decoupled decay is grad-independent: without the mask a
+        'frozen' (zero-grad) param still shrinks every step.  With
+        frozen_prefixes the leaf must come back bit-identical."""
+        params = {
+            "encoder": {"conv": {"kernel": jnp.ones((3, 3))}},
+            "head": {"dense": {"kernel": jnp.ones((3, 3))}},
+        }
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads["head"]["dense"]["kernel"] = jnp.full((3, 3), 0.1)
+
+        import optax
+
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-2, weight_decay=1e-2),
+            frozen_prefixes=["encoder"],
+        )
+        st = tx.init(params)
+        updates, _ = tx.update(grads, st, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_array_equal(
+            np.asarray(new["encoder"]["conv"]["kernel"]),
+            np.asarray(params["encoder"]["conv"]["kernel"]),
+        )
+        assert not np.allclose(
+            np.asarray(new["head"]["dense"]["kernel"]),
+            np.asarray(params["head"]["dense"]["kernel"]),
+        )
+
+        # unmasked control: decay alone moves the zero-grad leaf
+        tx2, _ = build_optimizer(dict(type="AdamW", lr=1e-2, weight_decay=1e-2))
+        st2 = tx2.init(params)
+        up2, _ = tx2.update(grads, st2, params)
+        new2 = optax.apply_updates(params, up2)
+        assert not np.allclose(
+            np.asarray(new2["encoder"]["conv"]["kernel"]),
+            np.asarray(params["encoder"]["conv"]["kernel"]),
+        )
+
+    def test_resnet_frozen_stage_norm_stats_fixed(self):
+        """Frozen stages run eval-mode norms: their BN batch_stats must not
+        move in train mode (reference _freeze_stages .eval() semantics,
+        resnet.py:613-629)."""
+        from scflow_tpu.models.resnet import ResNet
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        m = ResNet(depth=18, frozen_stages=1, out_indices=(3,))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        _, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+        bs_old, bs_new = v["batch_stats"], mut["batch_stats"]
+        assert any(k.startswith(("norm1", "stage1_")) for k in bs_old)
+        frozen_moved = jax.tree_util.tree_map(
+            lambda a, b: bool(np.allclose(a, b)),
+            {k: bs_old[k] for k in bs_old if k.startswith(("norm1", "stage1_"))},
+            {k: bs_new[k] for k in bs_new if k.startswith(("norm1", "stage1_"))},
+        )
+        assert all(jax.tree_util.tree_leaves(frozen_moved))
+        # a non-frozen stage's stats DO move
+        s4_old = {k: bs_old[k] for k in bs_old if k.startswith("stage4_")}
+        s4_new = {k: bs_new[k] for k in bs_new if k.startswith("stage4_")}
+        moved = jax.tree_util.tree_map(
+            lambda a, b: bool(np.allclose(a, b)), s4_old, s4_new
+        )
+        assert not all(jax.tree_util.tree_leaves(moved))
+
+
+class TestTensorboardHookOptional:
+    def test_degrades_without_tensorboardx(self, tmp_path, monkeypatch):
+        """Shipped configs enable the TB hook unconditionally while
+        tensorboardX is only the [tb] extra — the hook must warn and no-op,
+        not crash the train entry point."""
+        import sys
+
+        monkeypatch.setitem(sys.modules, "tensorboardX", None)
+        monkeypatch.setitem(sys.modules, "torch.utils.tensorboard", None)
+        from scflow_tpu.runtime import TensorboardHook
+
+        with pytest.warns(UserWarning, match="TensorboardHook disabled"):
+            hook = TensorboardHook(str(tmp_path))
+        assert hook.writer is None
+
+        class R:
+            step = 50
+            last_log = {"loss": 1.0}
+
+            def current_lr(self):
+                return 1e-4
+
+        hook.after_train_iter(R())  # no-op, no crash
+        hook.after_run(R())
