@@ -133,6 +133,13 @@ def filter_flow_by_depth(
 
     flow maps image0 -> image1; pixels whose warped depth1 disagrees with
     depth0 by more than `thr` (relative) are invalidated.
+
+    NOTE the reference combines with `not_valid & ~consistent`
+    (flow.py:42) — an AND that can only re-invalidate already-invalid
+    pixels, making its filter a silent no-op (contradicting the LoFTR
+    source it cites).  We implement the documented intent (`| ~consistent`,
+    matching the sister filters); the shipped configs leave
+    filter_invalid_flow_by_depth=False either way.
     """
     grid = _normalized_grid_from_flow(flow)
     d1 = jnp.where(depth1 > 0, depth1, 0.0)
@@ -142,7 +149,7 @@ def filter_flow_by_depth(
     )[..., 0]
     consistent = jnp.abs(d0 - warped) / (d0 + 0.1) < thr
     already_invalid = (flow[..., 0] >= invalid_num) & (flow[..., 1] >= invalid_num)
-    bad = already_invalid & (~consistent)
+    bad = already_invalid | (~consistent)
     return jnp.where(bad[..., None], jnp.asarray(invalid_num, flow.dtype), flow)
 
 

@@ -58,6 +58,9 @@ def solve_poses_from_flow(
                 ]
                 idx = np.argsort(-conf)[:num]
             else:
+                # len-1 is the reference's own off-by-one (randperm(n-1),
+                # base_flow_refiner.py:54): the last correspondence can
+                # never be drawn — replicated for sampling parity
                 idx = rng.permutation(len(p2d) - 1)[:num]
             tgt2d, p3d = tgt2d[idx], p3d[idx]
         R, t, ret = solve_pnp_ransac(

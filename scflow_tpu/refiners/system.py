@@ -108,6 +108,44 @@ def render_and_normalize(
     return images, out["depths"], out["masks"]
 
 
+def render_depth(
+    render_assets: RenderAssets,
+    rotations,
+    translations,
+    k,
+    labels,
+    image_size: Tuple[int, int],
+    chunk: int = 64,
+    backend: str = "xla",
+):
+    """Depth map at a pose WITHOUT shading/normalization (e.g. the gt depth
+    consumed by filter_flow_by_depth).  On the XLA path this rasterizes
+    only (skips attribute interpolation + Phong — a fraction of the work);
+    on the fused-Pallas path shading is baked into the one kernel and the
+    full render IS the cheap path, so it reuses render_batch."""
+    backend = resolve_backend(backend)
+    h, w = image_size
+    if backend == "pallas" and h % 8 == 0 and w % 128 == 0:
+        out = render_batch(
+            render_assets.verts, render_assets.faces,
+            render_assets.face_valid, render_assets.colors,
+            render_assets.normals, render_assets.vert_valid,
+            rotations, translations, k, labels, h, w,
+            chunk=chunk, backend=backend,
+        )
+        return out["depths"]
+    from scflow_tpu.render.rasterizer import rasterize
+
+    labels = labels.astype(jnp.int32)
+    verts = jnp.take(render_assets.verts, labels, axis=0)
+    faces = jnp.take(render_assets.faces, labels, axis=0)
+    face_valid = jnp.take(render_assets.face_valid, labels, axis=0)
+    verts_cam = (
+        jnp.einsum("nij,nvj->nvi", rotations, verts) + translations[:, None]
+    )
+    return rasterize(verts_cam, faces, face_valid, k, h, w, chunk).zbuf
+
+
 def scflow_sequence_losses(
     out: Dict[str, jnp.ndarray],
     gt_rotations,
@@ -127,6 +165,9 @@ def scflow_sequence_losses(
     """The 3-term exponentially-weighted sequence loss
     (scflow_refiner.py:212-247)."""
     T = out["rotations"].shape[0]
+    # SIGNED component sum, not magnitude — faithful to the reference's
+    # occlusion target (raft_refiner_flow_mask.py:193, shared by the scflow
+    # mask loss); the val metric uses the magnitude (:258) and we mirror both
     gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
 
     log_vars: Dict[str, jnp.ndarray] = {}
@@ -247,6 +288,8 @@ def make_scflow_train_step(
 
 
 def optax_global_norm(tree):
+    # not optax.global_norm: this upcasts every leaf to f32 first, so the
+    # logged norm stays exact if a caller ever carries low-precision grads
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
 
@@ -286,12 +329,15 @@ def make_raft_train_step(
         if filter_invalid_flow_by_mask:
             gt_flow = filter_flow_by_mask(gt_flow, batch["gt_masks"], max_flow)
         if filter_invalid_flow_by_depth:
-            _, gt_depths, _ = render_and_normalize(
+            gt_depths = render_depth(
                 render_assets, batch["gt_rotations"], batch["gt_translations"],
-                batch["k"], batch["labels"], image_size, norm_mean, norm_std,
+                batch["k"], batch["labels"], image_size,
                 chunk=render_chunk, backend=render_backend,
             )
             gt_flow = filter_flow_by_depth(gt_flow, gt_depths, rendered_depths, max_flow)
+        # SIGNED component sum, not magnitude — faithful to the reference's
+        # occlusion target (raft_refiner_flow_mask.py:193); its val metric
+        # uses the magnitude instead (:258), and we mirror both sides
         gt_occ = (jnp.sum(gt_flow, axis=-1) < max_flow).astype(jnp.float32)
 
         def loss_fn(params):
@@ -421,11 +467,11 @@ def make_scflow_infer_fn(
             unroll=unroll,
             lookup_backend=lookup_backend,
         )
+        # no seq_* outputs: the model runs output_sequences=False here, so
+        # only the final iteration exists (eval consumes just the final pose)
         return {
             "rotations": out["rotations"][-1],
             "translations": out["translations"][-1],
-            "seq_rotations": out["rotations"],
-            "seq_translations": out["translations"],
             "masks": out["masks"][-1],
             "flow": out["flow_from_pred"][-1],
         }
@@ -522,7 +568,8 @@ def make_scflow_cycled_infer_fn(
             out = model.apply(
                 variables, rendered_images, batch["real_images"], R, t,
                 rendered_depths, batch["k"], batch["labels"], iters=iters,
-                train=False, unroll=unroll, lookup_backend=lookup_backend,
+                train=False, output_sequences=False, unroll=unroll,
+                lookup_backend=lookup_backend,
             )
             R = out["rotations"][-1]
             t = out["translations"][-1]

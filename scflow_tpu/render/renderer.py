@@ -27,7 +27,9 @@ from scflow_tpu.render.shading import shade_phong
 
 def _render_pallas(
     verts_cam, normals_cam, colors, faces, face_valid, K, labels, h, w,
-    light_cam, version: int = 3,
+    light_cam, version: int = 3, ambient: float = 0.5, diffuse: float = 0.3,
+    specular: float = 0.2,
+    background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
 ):
     """Fused raster+shade path: one Pallas kernel produces depth/mask and
     interpolated normal/color maps (no per-pixel gathers); Phong lighting is
@@ -87,7 +89,9 @@ def _render_pallas(
     homo = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
     rays = jnp.einsum("nij,hwj->nhwi", jnp.linalg.inv(K), homo)
     pos = rays * depths[..., None]
-    images = phong_lighting(pos, nrm, texel, light_cam, fg)
+    images = phong_lighting(pos, nrm, texel, light_cam, fg, ambient=ambient,
+                            diffuse=diffuse, specular=specular,
+                            background_color=background_color)
     masks = fg.astype(images.dtype)
     return {"images": images, "depths": depths, "masks": masks}
 
@@ -95,6 +99,7 @@ def _render_pallas(
 @partial(jax.jit, static_argnames=(
     "h", "w", "chunk", "flat_shading", "backend", "shading",
     "seperate_lights", "default_lights", "raster_version",
+    "background_color",
 ))
 def render_batch(
     bank_verts: jnp.ndarray,  # (C, V, 3)
@@ -116,6 +121,7 @@ def render_batch(
     seperate_lights: bool = True,
     default_lights: bool = True,
     raster_version: int = 3,  # pallas backend: 3 = chunk-bbox, 4 = exact bin
+    background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
 ) -> Dict[str, jnp.ndarray]:
     from scflow_tpu.utils.platform import resolve_backend
 
@@ -131,32 +137,49 @@ def render_batch(
     verts_cam = jnp.einsum("nij,nvj->nvi", rotations, verts) + translations[:, None]
     normals_cam = jnp.einsum("nij,nvj->nvi", rotations, normals)
 
-    # point-light placement (reference rendering.py:194-213): seperate_lights
-    # puts one light per object at R @ (0, 0, max(znear_obj - 400, 0)) in
-    # mesh space; otherwise a single light at znear/4 on the optical axis
+    # point-light placement (reference rendering.py:194-213).  pytorch3d
+    # PointLights locations are WORLD-space and the reference builds them
+    # as loc_world = R @ (0, 0, lz), so in camera space the light sits at
+    # R @ (R @ (0, 0, lz)) + t — the double rotation is the reference's
+    # own placement quirk, replicated knowingly.  The four branches:
+    #   seperate_lights (either default_lights): lz = max(znear_obj-400, 0)
+    #   not seperate, not default ('for ITODD'): lz = znear/4 with the
+    #       batch znear floored to 100s (rendering.py:183)
+    #   not seperate, default: pytorch3d PointLights() default world
+    #       location (0, 1, 0) — no R@(0,0,lz) construction at all
     z = jnp.where(vert_valid, verts_cam[..., 2], jnp.inf)
     znear = jnp.min(z, axis=1)
-    if seperate_lights:
-        lz = jnp.maximum(znear - 400.0, 0.0)
+    if seperate_lights or not default_lights:
+        if seperate_lights:
+            lz = jnp.maximum(znear - 400.0, 0.0)
+        else:
+            znear_r = jnp.floor(jnp.min(znear) / 100.0) * 100.0
+            lz = jnp.broadcast_to(znear_r / 4.0, znear.shape)
+        light_world = jnp.einsum(
+            "nij,nj->ni",
+            rotations,
+            jnp.stack([jnp.zeros_like(lz), jnp.zeros_like(lz), lz], axis=-1),
+        )
     else:
-        lz = jnp.broadcast_to(jnp.min(znear) / 4.0, znear.shape)
-    light_mesh = jnp.einsum(
-        "nij,nj->ni",
-        rotations,
-        jnp.stack([jnp.zeros_like(lz), jnp.zeros_like(lz), lz], axis=-1),
-    )
-    light_cam = jnp.einsum("nij,nj->ni", rotations, light_mesh) + translations
+        light_world = jnp.broadcast_to(
+            jnp.asarray([0.0, 1.0, 0.0]), translations.shape
+        )
+    light_cam = jnp.einsum("nij,nj->ni", rotations, light_world) + translations
     # light colors: pytorch3d PointLights defaults vs the reference's
     # explicit non-default set (rendering.py:204)
     amb, dif, spec = (0.5, 0.3, 0.2) if default_lights else (0.8, 0.5, 1.0)
 
     # the fused kernel tiles the image as (8, 128) blocks; Mosaic rejects
     # narrower lane tiles (e.g. 64-wide reshapes), so small crops take the
-    # XLA path — at those sizes the brute-force reduction is cheap anyway
-    if backend == "pallas" and h % 8 == 0 and w % 128 == 0:
+    # XLA path — at those sizes the brute-force reduction is cheap anyway.
+    # it bakes smooth Phong shading, so flat/gouraud modes also fall back
+    if (backend == "pallas" and h % 8 == 0 and w % 128 == 0
+            and shading == "phong" and not flat_shading):
         return _render_pallas(
             verts_cam, normals_cam, colors, faces, face_valid, K, labels,
             h, w, light_cam, version=raster_version,
+            ambient=amb, diffuse=dif, specular=spec,
+            background_color=background_color,
         )
 
     fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)
@@ -164,6 +187,7 @@ def render_batch(
         fragments, faces, verts_cam, normals_cam, colors, light_cam,
         ambient=amb, diffuse=dif, specular=spec,
         flat_shading=flat_shading, mode=shading,
+        background_color=background_color,
     )
     depths = fragments.zbuf
     masks = (depths > 0).astype(images.dtype)
@@ -228,4 +252,5 @@ class Renderer:
             shading=self.shader_type.lower(),
             seperate_lights=self.seperate_lights,
             default_lights=self.default_lights,
+            background_color=self.background_color,
         )

@@ -288,6 +288,26 @@ class TestFlowFilters:
         got = np.asarray(filter_flow_by_mask(jnp.asarray(flow), jnp.asarray(mask)))
         np.testing.assert_allclose(got, expect, atol=1e-4)
 
+    def test_filter_by_depth_invalidates_inconsistent(self, rng):
+        """Pixels whose warped target depth disagrees with the source depth
+        are invalidated (documented LoFTR intent; the reference's own
+        `&` combination is a silent no-op, flow.py:42)."""
+        from scflow_tpu.geometry.flow import filter_flow_by_depth
+
+        n, h, w = 1, 8, 8
+        flow = np.zeros((n, h, w, 2), np.float32)  # identity flow
+        depth0 = np.full((n, h, w), 500.0, np.float32)
+        depth1 = depth0.copy()
+        depth1[0, 2, 3] = 900.0  # >20% relative disagreement at one pixel
+        got = np.asarray(
+            filter_flow_by_depth(
+                jnp.asarray(flow), jnp.asarray(depth1), jnp.asarray(depth0)
+            )
+        )
+        assert (got[0, 2, 3] == 400.0).all()
+        # consistent neighbours keep their (zero) flow
+        assert (got[0, 5, 5] == 0.0).all()
+
     def test_cal_epe(self, rng):
         n, h, w = 2, 8, 8
         gt = rng.normal(size=(n, h, w, 2)).astype(np.float32)

@@ -127,6 +127,64 @@ class TestRenderer:
         # background color 0.5
         np.testing.assert_allclose(imgs[0, 0, 0], [0.5, 0.5, 0.5], atol=1e-6)
 
+    def test_background_color_honored(self):
+        """Renderer(background_color=...) reaches the shader (was a dead
+        parameter masked by the config's 0.5 gray matching the default)."""
+        r = Renderer(bank=make_synthetic_bank(1), image_size=(64, 64),
+                     chunk=16, background_color=(0.0, 0.25, 1.0))
+        R = np.eye(3, dtype=np.float32)[None]
+        t = np.array([[0, 0, 400.0]], np.float32)
+        out = r(R, t, simple_K(1), np.array([0]))
+        np.testing.assert_allclose(
+            np.asarray(out["images"])[0, 0, 0], [0.0, 0.25, 1.0], atol=1e-6
+        )
+
+    def test_light_branches_differ(self):
+        """The four (seperate_lights, default_lights) reference branches
+        place/color lights differently (rendering.py:194-213) — each pair
+        must produce distinct foreground shading."""
+        from scipy.spatial.transform import Rotation
+
+        bank = make_synthetic_bank(1)
+        R = np.asarray(
+            Rotation.from_euler("xyz", [30, 40, 10], degrees=True)
+            .as_matrix()[None], np.float32,
+        )
+        t = np.array([[0, 0, 400.0]], np.float32)
+        imgs = {}
+        for sep in (True, False):
+            for dflt in (True, False):
+                r = Renderer(bank=bank, image_size=(64, 64), chunk=16,
+                             seperate_lights=sep, default_lights=dflt)
+                imgs[(sep, dflt)] = np.asarray(
+                    r(R, t, simple_K(1), np.array([0]))["images"]
+                )
+        keys = list(imgs)
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                assert np.abs(imgs[a] - imgs[b]).max() > 1e-4, (a, b)
+
+    def test_render_depth_matches_full_render(self):
+        """render_depth (raster-only fast path for depth supervision)
+        returns the same zbuf as the full shaded render."""
+        from scflow_tpu.refiners.system import (RenderAssets,
+                                                render_and_normalize,
+                                                render_depth)
+
+        bank = make_synthetic_bank(2)
+        ra = RenderAssets.from_bank(bank)
+        R = np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1))
+        t = np.tile(np.array([[0, 0, 400.0]], np.float32), (2, 1))
+        K = simple_K(2)
+        labels = np.array([0, 1])
+        _, depths_full, _ = render_and_normalize(
+            ra, R, t, K, labels, (64, 64), (0.0,) * 3, (255.0,) * 3, chunk=16
+        )
+        depths_only = render_depth(ra, R, t, K, labels, (64, 64), chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(depths_only), np.asarray(depths_full), atol=1e-5
+        )
+
     def test_cube_front_face_depth_analytic(self, renderer):
         """Front face of a cube (size 60) at z=400 sits at exactly 370."""
         R = np.eye(3, dtype=np.float32)[None]
