@@ -42,8 +42,10 @@ def endpoint_error(
         err = jnp.sqrt(jnp.sum(diff**2, axis=-1))
     else:
         err = jnp.sum(jnp.abs(diff), axis=-1)
-    if q is not None:
-        err = (err + (eps or 0.0)) ** q
+    # the reference applies the robust exponent only when BOTH q and eps
+    # are set (flow_loss.py:47) — q alone leaves the raw error map
+    if q is not None and eps is not None:
+        err = (err + eps) ** q
     return err
 
 
