@@ -37,10 +37,14 @@ A100_TORCH_REFINEMENTS_PER_SEC = 134.0
 
 
 def main():
+    from scflow_tpu.utils.platform import (check_remote_backend_reachable,
+                                           enable_compilation_cache)
+
+    # a dead TPU tunnel makes axon init block forever; better a fast error
+    check_remote_backend_reachable()
+
     import jax
     import jax.numpy as jnp
-
-    from scflow_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
 

@@ -18,8 +18,10 @@ import time
 
 def _setup_platform():
     from scflow_tpu.utils.platform import (apply_env_platform,
+                                           check_remote_backend_reachable,
                                            enable_compilation_cache)
 
+    check_remote_backend_reachable()
     apply_env_platform()
     enable_compilation_cache()
 

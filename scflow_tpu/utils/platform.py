@@ -37,6 +37,35 @@ def enable_compilation_cache(cache_dir: str = None):
         pass  # older jax without the knobs
 
 
+def check_remote_backend_reachable(timeout: float = 5.0):
+    """Fail fast when the remote-TPU relay is unreachable.
+
+    The axon PJRT client blocks forever inside backend init when its
+    loopback relay (127.0.0.1:8083) is down — there is no timeout on that
+    path — so a benchmark or CLI run would hang indefinitely instead of
+    erroring.  Call this BEFORE the first jax use in any entry point that
+    intends to run on the TPU.  No-op when the env selects another
+    platform (JAX_PLATFORMS=cpu) or the axon env vars are absent.
+    """
+    want = os.environ.get("JAX_PLATFORMS", "")
+    first = want.split(",")[0].strip().lower()
+    if first and first != "axon":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=timeout):
+            pass
+    except OSError as e:
+        raise SystemExit(
+            "remote-TPU relay 127.0.0.1:8083 is unreachable "
+            f"({e}); the axon backend would block forever in init. "
+            "Restore the tunnel or run with JAX_PLATFORMS=cpu."
+        )
+
+
 def apply_env_platform():
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
