@@ -286,3 +286,91 @@ def test_main(argv=None):
         with open(out_json, "w") as f:
             json.dump({k: float(v) for k, v in metrics.items()}, f, indent=1)
         logger.info(f"eval metrics dumped to {out_json}")
+
+
+def parse_serve_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Online pose-refinement server (HTTP + micro-batching)")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8080, type=int)
+    p.add_argument("--frame-hw", type=int, nargs=2, default=[480, 640],
+                   help="camera frame size the server accepts")
+    p.add_argument("--max-objects", default=64, type=int,
+                   help="device batch budget (64 = the measured knee)")
+    p.add_argument("--max-frames", default=8, type=int,
+                   help="max requests coalesced into one batch")
+    p.add_argument("--max-delay-ms", default=5.0, type=float,
+                   help="batching window opened by the first queued request")
+    p.add_argument("--pow2-buckets", action="store_true",
+                   help="pad to shared pow2 buckets instead of one fixed "
+                        "batch (cheap-compile backends only)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def serve_main(argv=None):
+    args = parse_serve_args(argv)
+    _setup_platform()
+
+    from scflow_tpu.apis import (
+        build_render_assets,
+        init_model_variables,
+        load_eval_checkpoint,
+    )
+    from scflow_tpu.config import Config
+    from scflow_tpu.refiners import build_refiner_from_config
+    from scflow_tpu.runtime.server import (
+        MicroBatcher,
+        PoseService,
+        make_http_server,
+    )
+    from scflow_tpu.serving import make_serving_fn
+    from scflow_tpu.utils.logging import get_logger
+
+    logger = get_logger("scflow_tpu")
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(Config.parse_options(args.cfg_options))
+
+    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    model = build_refiner_from_config(cfg.model)
+    if cfg.model["type"] != "SCFlowRefiner":
+        raise SystemExit("serving supports SCFlowRefiner configs (direct "
+                         "pose output; RAFT variants need host PnP)")
+    render_assets, bank = build_render_assets(cfg.model)
+    variables = init_model_variables(cfg.model, model, image_size,
+                                     num_class=bank.num_class)
+    variables = load_eval_checkpoint(args.checkpoint, variables, cfg.model,
+                                     logger)
+
+    serve_fn = make_serving_fn(
+        model, render_assets, render_assets.verts, render_assets.vert_valid,
+        image_size=image_size[0],
+        iters=cfg.model.get("test_cfg", {}).get("iters"),
+    )
+    service = PoseService(
+        serve_fn, variables, frame_hw=tuple(args.frame_hw),
+        num_class=bank.num_class, max_frames=args.max_frames,
+        max_objects=args.max_objects, fixed_bucket=not args.pow2_buckets,
+    )
+    logger.info("warming up (compiling the serving fn)...")
+    t0 = time.perf_counter()
+    service.warmup()
+    logger.info(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    batcher = MicroBatcher(
+        service.run, max_frames=args.max_frames,
+        max_objects=args.max_objects, max_delay_ms=args.max_delay_ms,
+    )
+    httpd = make_http_server(service, batcher, args.host, args.port)
+    logger.info(f"serving on http://{args.host}:{args.port} "
+                f"(POST /v1/refine, GET /healthz, GET /v1/stats)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.stop()

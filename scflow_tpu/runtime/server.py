@@ -1,0 +1,429 @@
+"""Online serving runtime: request queue -> micro-batcher -> jitted device
+serving fn -> HTTP front end.
+
+The reference has no serving story beyond batch evaluation (its test.py
+prints per-image latency, `/root/reference/test.py:116-120`); this module is
+the deployment surface the rebuild adds on top of the device-side serving
+pipeline (`scflow_tpu/serving.py`): clients POST one camera frame plus
+initial poses, the server coalesces concurrent requests into one padded
+device batch (the measured throughput knee is batch 64, see
+docs/PERFORMANCE.md), and answers with refined poses in the original camera
+frame.
+
+Design notes, TPU-first:
+
+- ONE jit specialization by default (`fixed_bucket=True` pads every batch
+  to `max_objects`): on the remote-compile TPU backend a new shape costs
+  minutes, padded compute costs ~1.5 ms/object.  `fixed_bucket=False`
+  switches to shared pow2 buckets (the eval-loop trade) for backends where
+  compiles are cheap.
+- The frame bank is always padded to `max_frames`: `serving.crop_resize`
+  gathers rows per *object*, so unused frames cost HBM only, not FLOPs —
+  padding them is free compared to a per-frame-count specialization.
+- Everything is stdlib (http.server, threading, queue); payloads are npz
+  (`numpy.savez`), so any numpy client can talk to it without extra deps.
+"""
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from scflow_tpu.runtime.eval_loop import _bucket
+
+_STOP = object()
+
+
+# ---------------------------------------------------------------- requests
+
+
+@dataclass
+class RefineRequest:
+    """One client request: a frame and the objects to refine in it."""
+
+    frame: np.ndarray  # (Hf, Wf, 3) uint8 or float32 in [0, 1]
+    rotations: np.ndarray  # (P, 3, 3) float32 initial rotations
+    translations: np.ndarray  # (P, 3) float32 initial translations (mm)
+    k: np.ndarray  # (3, 3) or (P, 3, 3) float32 intrinsics
+    labels: np.ndarray  # (P,) int32 class ids
+    future: object = None  # concurrent.futures.Future, set by the batcher
+    t_enqueue: float = 0.0
+
+    @property
+    def num_objects(self) -> int:
+        return int(self.rotations.shape[0])
+
+
+def validate_request(req: RefineRequest, frame_hw, num_class: int):
+    h, w = frame_hw
+    if req.frame.ndim != 3 or req.frame.shape[2] != 3:
+        raise ValueError(f"frame must be (H, W, 3), got {req.frame.shape}")
+    if req.frame.shape[:2] != (h, w):
+        raise ValueError(
+            f"frame must be {h}x{w} (server frame_hw), got "
+            f"{req.frame.shape[0]}x{req.frame.shape[1]}"
+        )
+    p = req.num_objects
+    if p == 0:
+        raise ValueError("request has no objects")
+    if req.rotations.shape != (p, 3, 3):
+        raise ValueError(f"rotations must be (P, 3, 3), got {req.rotations.shape}")
+    if req.translations.shape != (p, 3):
+        raise ValueError(
+            f"translations must be (P, 3), got {req.translations.shape}")
+    if req.k.shape not in ((3, 3), (p, 3, 3)):
+        raise ValueError(f"k must be (3, 3) or (P, 3, 3), got {req.k.shape}")
+    if req.labels.shape != (p,):
+        raise ValueError(f"labels must be (P,), got {req.labels.shape}")
+    lmin, lmax = int(req.labels.min()), int(req.labels.max())
+    if lmin < 0 or lmax >= num_class:
+        raise ValueError(
+            f"labels out of range [0, {num_class}): min {lmin} max {lmax}")
+
+
+# ------------------------------------------------------------------- stats
+
+
+class ServingStats:
+    """Thread-safe counters + latency quantiles over a sliding window."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)
+        self.requests = 0
+        self.objects = 0
+        self.batches = 0
+        self.errors = 0
+        self.started = time.time()
+
+    def record_batch(self, n_requests: int, n_objects: int):
+        with self._lock:
+            self.batches += 1
+            self.requests += n_requests
+            self.objects += n_objects
+
+    def record_latency(self, seconds: float):
+        with self._lock:
+            self._lat.append(seconds)
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            requests, objects, batches = self.requests, self.objects, self.batches
+            errors = self.errors
+            uptime = time.time() - self.started
+
+        def q(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
+
+        return {
+            "uptime_s": round(uptime, 1),
+            "requests": requests,
+            "objects": objects,
+            "batches": batches,
+            "errors": errors,
+            "mean_objects_per_batch": round(objects / batches, 2) if batches else None,
+            "mean_requests_per_batch": round(requests / batches, 2) if batches else None,
+            "latency_ms": {"p50": q(0.50), "p95": q(0.95), "p99": q(0.99)},
+        }
+
+
+# ----------------------------------------------------------------- service
+
+
+class PoseService:
+    """Pads coalesced requests into one fixed-shape device batch and runs
+    the jitted serving fn (`scflow_tpu.serving.make_serving_fn`)."""
+
+    def __init__(
+        self,
+        serve_fn: Callable,
+        variables,
+        frame_hw=(480, 640),
+        num_class: int = 21,
+        max_frames: int = 8,
+        max_objects: int = 64,
+        fixed_bucket: bool = True,
+    ):
+        self.serve_fn = serve_fn
+        self.variables = variables
+        self.frame_hw = tuple(frame_hw)
+        self.num_class = num_class
+        self.max_frames = max_frames
+        self.max_objects = max_objects
+        self.fixed_bucket = fixed_bucket
+
+    def _frame_to_float(self, frame: np.ndarray) -> np.ndarray:
+        if frame.dtype == np.uint8:
+            return frame.astype(np.float32) / 255.0
+        return np.asarray(frame, np.float32)
+
+    def run(self, requests: Sequence[RefineRequest]) -> List[Dict[str, np.ndarray]]:
+        import jax
+        import jax.numpy as jnp
+
+        h, w = self.frame_hw
+        frames = np.zeros((self.max_frames, h, w, 3), np.float32)
+        rot, trans, ks, labels, fidx, counts = [], [], [], [], [], []
+        for i, req in enumerate(requests):
+            frames[i] = self._frame_to_float(req.frame)
+            p = req.num_objects
+            rot.append(np.asarray(req.rotations, np.float32))
+            trans.append(np.asarray(req.translations, np.float32))
+            k = np.asarray(req.k, np.float32)
+            ks.append(np.tile(k[None], (p, 1, 1)) if k.ndim == 2 else k)
+            labels.append(np.asarray(req.labels, np.int32))
+            fidx.append(np.full((p,), i, np.int32))
+            counts.append(p)
+
+        n = int(sum(counts))
+        b = _bucket(n, self.max_objects, fixed=self.fixed_bucket)
+        pad = b - n
+
+        def cat(parts, pad_row):
+            out = np.concatenate(parts, axis=0)
+            if pad:
+                out = np.concatenate(
+                    [out, np.tile(pad_row, (pad,) + (1,) * (out.ndim - 1))], axis=0
+                )
+            return out
+
+        rotations = cat(rot, np.eye(3, dtype=np.float32)[None])
+        translations = cat(trans, np.array([[0.0, 0.0, 1000.0]], np.float32))
+        K = cat(ks, np.array(
+            [[[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]]], np.float32))
+        labs = cat(labels, np.zeros((1,), np.int32))
+        frame_idx = cat(fidx, np.zeros((1,), np.int32))
+
+        out = self.serve_fn(
+            self.variables, jnp.asarray(frames), jnp.asarray(frame_idx),
+            jnp.asarray(rotations), jnp.asarray(translations), jnp.asarray(K),
+            jnp.asarray(labs),
+        )
+        out = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+        results, start = [], 0
+        for p in counts:
+            results.append({
+                "rotations": out["rotations"][start:start + p],
+                "translations": out["translations"][start:start + p],
+            })
+            start += p
+        return results
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None):
+        """Compile the serving fn for every bucket it can see (ONE bucket
+        under fixed_bucket, the default)."""
+        if buckets is None:
+            if self.fixed_bucket:
+                buckets = [self.max_objects]
+            else:
+                buckets, b = [], 1
+                while b <= self.max_objects:
+                    buckets.append(b)
+                    b *= 2
+        h, w = self.frame_hw
+        for b in buckets:
+            req = RefineRequest(
+                frame=np.zeros((h, w, 3), np.uint8),
+                rotations=np.tile(np.eye(3, dtype=np.float32)[None], (b, 1, 1)),
+                translations=np.tile(
+                    np.array([[0.0, 0.0, 1000.0]], np.float32), (b, 1)),
+                k=np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]],
+                           np.float32),
+                labels=np.zeros((b,), np.int32),
+            )
+            self.run([req])
+
+
+# ----------------------------------------------------------------- batcher
+
+
+class MicroBatcher:
+    """Coalesces concurrent requests into device batches.
+
+    The first request in an empty queue opens a window of `max_delay_ms`;
+    requests arriving inside it join the batch until `max_frames` requests
+    or `max_objects` total objects are reached.  A request that would
+    overflow the object budget is held for the next batch (never dropped,
+    never split).
+    """
+
+    def __init__(
+        self,
+        run_batch: Callable[[Sequence[RefineRequest]], List[Dict]],
+        max_frames: int = 8,
+        max_objects: int = 64,
+        max_delay_ms: float = 5.0,
+        stats: Optional[ServingStats] = None,
+    ):
+        self._run_batch = run_batch
+        self.max_frames = max_frames
+        self.max_objects = max_objects
+        self.max_delay = max_delay_ms / 1e3
+        self.stats = stats or ServingStats()
+        self._q = queue.Queue()
+        self._held = None
+        self._thread = threading.Thread(
+            target=self._loop, name="scflow-batcher", daemon=True)
+        self._thread.start()
+
+    def submit(self, req: RefineRequest) -> "Future":
+        from concurrent.futures import Future
+
+        req.future = Future()
+        req.t_enqueue = time.perf_counter()
+        self._q.put(req)
+        return req.future
+
+    def stop(self):
+        self._q.put(_STOP)
+        self._thread.join(timeout=30)
+
+    def _collect(self) -> Optional[List[RefineRequest]]:
+        first = self._held or self._q.get()
+        self._held = None
+        if first is _STOP:
+            return None
+        batch = [first]
+        objs = first.num_objects
+        deadline = first.t_enqueue + self.max_delay
+        while len(batch) < self.max_frames:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                self._held = _STOP
+                break
+            if objs + nxt.num_objects > self.max_objects:
+                self._held = nxt
+                break
+            batch.append(nxt)
+            objs += nxt.num_objects
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                results = self._run_batch(batch)
+            except Exception as e:  # surface device errors to every waiter
+                self.stats.record_error()
+                for req in batch:
+                    req.future.set_exception(e)
+                continue
+            now = time.perf_counter()
+            self.stats.record_batch(
+                len(batch), sum(r.num_objects for r in batch))
+            for req, res in zip(batch, results):
+                self.stats.record_latency(now - req.t_enqueue)
+                req.future.set_result(res)
+
+
+# ----------------------------------------------------------- HTTP frontend
+
+
+def _npz_bytes(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _parse_npz(body: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def make_http_server(service: PoseService, batcher: MicroBatcher,
+                     host: str = "127.0.0.1", port: int = 8080,
+                     request_timeout: float = 60.0):
+    """HTTP front end.  POST /v1/refine (npz: frame, ref_rotations,
+    ref_translations, k, labels) -> npz {rotations, translations};
+    GET /healthz -> ok; GET /v1/stats -> JSON counters."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet; stats carry the signal
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/v1/stats":
+                body = json.dumps(batcher.stats.snapshot()).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/v1/refine":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = _parse_npz(self.rfile.read(length))
+                req = RefineRequest(
+                    frame=data["frame"],
+                    rotations=data["ref_rotations"],
+                    translations=data["ref_translations"],
+                    k=data["k"],
+                    labels=data["labels"],
+                )
+                validate_request(req, service.frame_hw, service.num_class)
+            except (KeyError, ValueError, OSError) as e:
+                batcher.stats.record_error()
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            try:
+                result = batcher.submit(req).result(timeout=request_timeout)
+            except Exception as e:
+                self._send(500, str(e).encode(), "text/plain")
+                return
+            self._send(200, _npz_bytes(result), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def refine_remote(url: str, frame, rotations, translations, k, labels,
+                  timeout: float = 60.0) -> Dict[str, np.ndarray]:
+    """Minimal numpy client for the HTTP server (stdlib urllib)."""
+    from urllib.request import Request, urlopen
+
+    body = _npz_bytes({
+        "frame": np.asarray(frame),
+        "ref_rotations": np.asarray(rotations, np.float32),
+        "ref_translations": np.asarray(translations, np.float32),
+        "k": np.asarray(k, np.float32),
+        "labels": np.asarray(labels, np.int32),
+    })
+    req = Request(url.rstrip("/") + "/v1/refine", data=body,
+                  headers={"Content-Type": "application/octet-stream"})
+    with urlopen(req, timeout=timeout) as resp:
+        return _parse_npz(resp.read())
