@@ -350,10 +350,19 @@ def serve_main(argv=None):
         image_size=image_size[0],
         iters=cfg.model.get("test_cfg", {}).get("iters"),
     )
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:  # data-parallel serving over all chips
+        from scflow_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.info(f"serving data-parallel over {len(jax.devices())} devices")
     service = PoseService(
         serve_fn, variables, frame_hw=tuple(args.frame_hw),
         num_class=bank.num_class, max_frames=args.max_frames,
         max_objects=args.max_objects, fixed_bucket=not args.pow2_buckets,
+        mesh=mesh,
     )
     logger.info("warming up (compiling the serving fn)...")
     t0 = time.perf_counter()

@@ -15,7 +15,17 @@ from scflow_tpu.registry import PIPELINES
 
 @PIPELINES.register_module("Compose")
 class Compose:
-    def __init__(self, transforms: Sequence):
+    """Transform chain (reference `datasets/pipelines/formatting.py:183-217`
+    semantics: None from any transform aborts the sample).
+
+    Set env SCFLOW_PIPELINE_PROFILE=1 (or `profile=True`) to accumulate
+    per-transform wall time into `self.profile_stats` — the observability
+    hook behind `tools/bench_pipeline.py --profile`.
+    """
+
+    def __init__(self, transforms: Sequence, profile: bool = False):
+        import os
+
         self.transforms = []
         for t in transforms:
             if isinstance(t, dict):
@@ -24,10 +34,32 @@ class Compose:
                 self.transforms.append(t)
             else:
                 raise TypeError(t)
+        self.profile = profile or bool(os.environ.get("SCFLOW_PIPELINE_PROFILE"))
+        if self.profile:
+            import threading
+
+            self._lock = threading.Lock()
+            self.profile_stats = {
+                t.__class__.__name__: [0, 0.0] for t in self.transforms
+            }
 
     def __call__(self, data):
+        if not self.profile:
+            for t in self.transforms:
+                data = t(data)
+                if data is None:
+                    return None
+            return data
+        import time
+
         for t in self.transforms:
+            t0 = time.perf_counter()
             data = t(data)
+            dt = time.perf_counter() - t0
+            with self._lock:
+                cell = self.profile_stats[t.__class__.__name__]
+                cell[0] += 1
+                cell[1] += dt
             if data is None:
                 return None
         return data

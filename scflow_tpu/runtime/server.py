@@ -145,7 +145,14 @@ class ServingStats:
 
 class PoseService:
     """Pads coalesced requests into one fixed-shape device batch and runs
-    the jitted serving fn (`scflow_tpu.serving.make_serving_fn`)."""
+    the jitted serving fn (`scflow_tpu.serving.make_serving_fn`).
+
+    With `mesh` set, serving is data-parallel over the mesh: the padded
+    object batch is sharded along its leading axis, params and frames are
+    replicated, and XLA splits the work across chips (the TPU-native
+    replacement for the reference's DDP eval, SURVEY.md §2.2).  Batch
+    buckets are rounded up to a multiple of the device count.
+    """
 
     def __init__(
         self,
@@ -156,14 +163,25 @@ class PoseService:
         max_frames: int = 8,
         max_objects: int = 64,
         fixed_bucket: bool = True,
+        mesh=None,
     ):
         self.serve_fn = serve_fn
-        self.variables = variables
         self.frame_hw = tuple(frame_hw)
         self.num_class = num_class
         self.max_frames = max_frames
         self.max_objects = max_objects
         self.fixed_bucket = fixed_bucket
+        self.mesh = mesh
+        if mesh is not None:
+            from scflow_tpu.parallel import batch_sharding, replicate
+
+            self._obj_sharding = batch_sharding(mesh)
+            self.variables = replicate(variables, mesh)
+            self.n_devices = len(mesh.devices.ravel())
+        else:
+            self._obj_sharding = None
+            self.variables = variables
+            self.n_devices = 1
 
     def _frame_to_float(self, frame: np.ndarray) -> np.ndarray:
         if frame.dtype == np.uint8:
@@ -190,6 +208,8 @@ class PoseService:
 
         n = int(sum(counts))
         b = _bucket(n, self.max_objects, fixed=self.fixed_bucket)
+        # sharded serving splits the object axis evenly across chips
+        b = -(-b // self.n_devices) * self.n_devices
         pad = b - n
 
         def cat(parts, pad_row):
@@ -207,10 +227,17 @@ class PoseService:
         labs = cat(labels, np.zeros((1,), np.int32))
         frame_idx = cat(fidx, np.zeros((1,), np.int32))
 
+        if self._obj_sharding is not None:
+            from scflow_tpu.parallel import replicated_sharding
+
+            put = lambda x: jax.device_put(x, self._obj_sharding)
+            put_frames = lambda x: jax.device_put(
+                x, replicated_sharding(self.mesh))
+        else:
+            put = put_frames = jnp.asarray
         out = self.serve_fn(
-            self.variables, jnp.asarray(frames), jnp.asarray(frame_idx),
-            jnp.asarray(rotations), jnp.asarray(translations), jnp.asarray(K),
-            jnp.asarray(labs),
+            self.variables, put_frames(frames), put(frame_idx),
+            put(rotations), put(translations), put(K), put(labs),
         )
         out = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
 

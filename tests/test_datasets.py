@@ -212,17 +212,23 @@ class TestTrainDataset:
         import threading
         import time
 
-        base = threading.active_count()
+        # track the loader's own threads by identity: unrelated threads
+        # (torch interop pools, orbax async savers from earlier tests) may
+        # appear or retire concurrently, so raw active_count() comparisons
+        # race in a full-suite run
+        before = set(threading.enumerate())
         loader = DataLoader(train_dataset, samples_per_step=1, num_workers=2,
                             infinite=True, shuffle=False, prefetch=1)
         it = iter(loader)
         next(it)
-        assert threading.active_count() > base
+        ours = [t for t in threading.enumerate() if t not in before]
+        assert ours, "loader started no threads?"
         it.close()  # generator finally -> stop.set()
-        deadline = time.time() + 10
-        while threading.active_count() > base and time.time() < deadline:
+        deadline = time.time() + 60
+        while any(t.is_alive() for t in ours) and time.time() < deadline:
             time.sleep(0.05)
-        assert threading.active_count() == base
+        leaked = [t.name for t in ours if t.is_alive()]
+        assert not leaked, f"loader threads not reclaimed: {leaked}"
 
     def test_loader_propagates_worker_error(self, train_dataset):
         """A worker exception surfaces as RuntimeError in the consumer
