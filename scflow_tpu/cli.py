@@ -371,7 +371,8 @@ def serve_main(argv=None):
     logger.info(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     batcher = MicroBatcher(
-        service.run, max_frames=args.max_frames,
+        service.dispatch, fetch_batch=service.fetch,
+        max_frames=args.max_frames,
         max_objects=args.max_objects, max_delay_ms=args.max_delay_ms,
     )
     httpd = make_http_server(service, batcher, args.host, args.port)

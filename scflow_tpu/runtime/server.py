@@ -60,7 +60,8 @@ class RefineRequest:
         return int(self.rotations.shape[0])
 
 
-def validate_request(req: RefineRequest, frame_hw, num_class: int):
+def validate_request(req: RefineRequest, frame_hw, num_class: int,
+                     max_objects: Optional[int] = None):
     h, w = frame_hw
     if req.frame.ndim != 3 or req.frame.shape[2] != 3:
         raise ValueError(f"frame must be (H, W, 3), got {req.frame.shape}")
@@ -72,6 +73,10 @@ def validate_request(req: RefineRequest, frame_hw, num_class: int):
     p = req.num_objects
     if p == 0:
         raise ValueError("request has no objects")
+    if max_objects is not None and p > max_objects:
+        raise ValueError(
+            f"request has {p} objects, server batch budget is {max_objects} "
+            "(split the request)")
     if req.rotations.shape != (p, 3, 3):
         raise ValueError(f"rotations must be (P, 3, 3), got {req.rotations.shape}")
     if req.translations.shape != (p, 3):
@@ -188,7 +193,13 @@ class PoseService:
             return frame.astype(np.float32) / 255.0
         return np.asarray(frame, np.float32)
 
-    def run(self, requests: Sequence[RefineRequest]) -> List[Dict[str, np.ndarray]]:
+    def dispatch(self, requests: Sequence[RefineRequest]):
+        """Pad + enqueue one device batch; returns a handle for `fetch`.
+
+        jax dispatch is asynchronous: this returns as soon as the work is
+        enqueued, so a batcher can overlap the NEXT batch's host-side prep
+        (unpickling, padding) with the device computing THIS one.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -239,8 +250,15 @@ class PoseService:
             self.variables, put_frames(frames), put(frame_idx),
             put(rotations), put(translations), put(K), put(labs),
         )
-        out = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+        return out, counts
 
+    def fetch(self, handle) -> List[Dict[str, np.ndarray]]:
+        """Block on the device result of a `dispatch` handle and slice it
+        back per request."""
+        import jax
+
+        out, counts = handle
+        out = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
         results, start = [], 0
         for p in counts:
             results.append({
@@ -249,6 +267,9 @@ class PoseService:
             })
             start += p
         return results
+
+    def run(self, requests: Sequence[RefineRequest]) -> List[Dict[str, np.ndarray]]:
+        return self.fetch(self.dispatch(requests))
 
     def warmup(self, buckets: Optional[Sequence[int]] = None):
         """Compile the serving fn for every bucket it can see (ONE bucket
@@ -295,17 +316,32 @@ class MicroBatcher:
         max_objects: int = 64,
         max_delay_ms: float = 5.0,
         stats: Optional[ServingStats] = None,
+        fetch_batch: Optional[Callable] = None,
     ):
+        """With only `run_batch`, batches execute one at a time.  With
+        `fetch_batch`, `run_batch` is treated as an async DISPATCH
+        (PoseService.dispatch) whose handle is resolved by `fetch_batch`
+        (PoseService.fetch) on a second thread — the device computes batch
+        N while this thread pads/enqueues batch N+1 (jax async dispatch)."""
         self._run_batch = run_batch
+        self._fetch_batch = fetch_batch
         self.max_frames = max_frames
         self.max_objects = max_objects
         self.max_delay = max_delay_ms / 1e3
         self.stats = stats or ServingStats()
         self._q = queue.Queue()
         self._held = None
-        self._thread = threading.Thread(
-            target=self._loop, name="scflow-batcher", daemon=True)
-        self._thread.start()
+        self._threads = []
+        if fetch_batch is not None:
+            # maxsize 2: one batch on device + one handle waiting is enough
+            # pipelining; more would just grow queue latency
+            self._inflight = queue.Queue(maxsize=2)
+            self._threads.append(threading.Thread(
+                target=self._fetch_loop, name="scflow-fetcher", daemon=True))
+        self._threads.append(threading.Thread(
+            target=self._loop, name="scflow-batcher", daemon=True))
+        for t in self._threads:
+            t.start()
 
     def submit(self, req: RefineRequest) -> "Future":
         from concurrent.futures import Future
@@ -317,7 +353,8 @@ class MicroBatcher:
 
     def stop(self):
         self._q.put(_STOP)
-        self._thread.join(timeout=30)
+        for t in self._threads:
+            t.join(timeout=30)
 
     def _collect(self) -> Optional[List[RefineRequest]]:
         first = self._held or self._q.get()
@@ -345,24 +382,47 @@ class MicroBatcher:
             objs += nxt.num_objects
         return batch
 
+    def _resolve(self, batch, results):
+        now = time.perf_counter()
+        self.stats.record_batch(len(batch), sum(r.num_objects for r in batch))
+        for req, res in zip(batch, results):
+            self.stats.record_latency(now - req.t_enqueue)
+            req.future.set_result(res)
+
+    def _fail(self, batch, e):
+        self.stats.record_error()
+        for req in batch:
+            req.future.set_exception(e)
+
     def _loop(self):
         while True:
             batch = self._collect()
             if batch is None:
+                if self._fetch_batch is not None:
+                    self._inflight.put(_STOP)
                 return
             try:
-                results = self._run_batch(batch)
+                out = self._run_batch(batch)
             except Exception as e:  # surface device errors to every waiter
-                self.stats.record_error()
-                for req in batch:
-                    req.future.set_exception(e)
+                self._fail(batch, e)
                 continue
-            now = time.perf_counter()
-            self.stats.record_batch(
-                len(batch), sum(r.num_objects for r in batch))
-            for req, res in zip(batch, results):
-                self.stats.record_latency(now - req.t_enqueue)
-                req.future.set_result(res)
+            if self._fetch_batch is None:
+                self._resolve(batch, out)
+            else:
+                self._inflight.put((batch, out))
+
+    def _fetch_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is _STOP:
+                return
+            batch, handle = item
+            try:
+                results = self._fetch_batch(handle)
+            except Exception as e:
+                self._fail(batch, e)
+                continue
+            self._resolve(batch, results)
 
 
 # ----------------------------------------------------------- HTTP frontend
@@ -423,7 +483,8 @@ def make_http_server(service: PoseService, batcher: MicroBatcher,
                     k=data["k"],
                     labels=data["labels"],
                 )
-                validate_request(req, service.frame_hw, service.num_class)
+                validate_request(req, service.frame_hw, service.num_class,
+                                 max_objects=batcher.max_objects)
             except (KeyError, ValueError, OSError) as e:
                 batcher.stats.record_error()
                 self._send(400, str(e).encode(), "text/plain")

@@ -39,6 +39,10 @@ class TestValidation:
     def test_accepts_well_formed(self):
         validate_request(make_request(), (32, 40), 2)
 
+    def test_rejects_over_budget(self):
+        with pytest.raises(ValueError, match="batch budget"):
+            validate_request(make_request(p=9), (32, 40), 2, max_objects=8)
+
     @pytest.mark.parametrize(
         "mutate,msg",
         [
@@ -127,6 +131,53 @@ class TestMicroBatcher:
                 with pytest.raises(RuntimeError, match="device on fire"):
                     f.result(timeout=10)
             assert b.stats.snapshot()["errors"] >= 1
+        finally:
+            b.stop()
+
+    def test_two_stage_pipelines_dispatch_and_fetch(self):
+        """With fetch_batch set, dispatch of batch N+1 must begin while
+        batch N is still being fetched (device/host overlap)."""
+        fetch_started = threading.Event()
+        second_dispatched = threading.Event()
+        overlap = []
+
+        def dispatch(requests):
+            if fetch_started.is_set():
+                second_dispatched.set()
+            return [{"rotations": r.rotations,
+                     "translations": r.translations} for r in requests]
+
+        def fetch(handle):
+            fetch_started.set()
+            # hold the fetch open; the batcher thread should dispatch the
+            # next batch in the meantime
+            overlap.append(second_dispatched.wait(timeout=10))
+            return handle
+
+        b = MicroBatcher(dispatch, fetch_batch=fetch, max_delay_ms=1.0)
+        try:
+            f1 = b.submit(make_request(seed=0))
+            # wait until batch 1 is in fetch, then submit batch 2
+            assert fetch_started.wait(timeout=10)
+            f2 = b.submit(make_request(seed=1))
+            assert f1.result(timeout=30) is not None
+            assert f2.result(timeout=30) is not None
+            assert overlap and overlap[0], (
+                "second dispatch did not overlap the first fetch")
+        finally:
+            b.stop()
+
+    def test_two_stage_fetch_error_propagates(self):
+        def dispatch(requests):
+            return requests
+
+        def fetch(handle):
+            raise RuntimeError("transfer failed")
+
+        b = MicroBatcher(dispatch, fetch_batch=fetch, max_delay_ms=1.0)
+        try:
+            with pytest.raises(RuntimeError, match="transfer failed"):
+                b.submit(make_request()).result(timeout=10)
         finally:
             b.stop()
 
@@ -242,7 +293,10 @@ class TestMeshService:
 
 class TestHTTPServer:
     def test_end_to_end_http(self, tiny_service):
-        batcher = MicroBatcher(tiny_service.run, max_frames=4, max_objects=8,
+        # two-stage (dispatch/fetch pipelined) — what serve_main wires up
+        batcher = MicroBatcher(tiny_service.dispatch,
+                               fetch_batch=tiny_service.fetch,
+                               max_frames=4, max_objects=8,
                                max_delay_ms=20.0)
         httpd = make_http_server(tiny_service, batcher, "127.0.0.1", 0)
         port = httpd.server_address[1]
