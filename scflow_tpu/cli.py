@@ -180,6 +180,10 @@ def train_main(argv=None):
             train_step, state, loader, max_iters, work_dir=work_dir,
             hooks=hooks, lr_schedule=schedule, put_batch=put_batch,
             logger=logger, nan_check=args.nan_check,
+            # mmcv CheckpointConfig's retention knob, honored for config
+            # compatibility (orbax CheckpointManager max_to_keep)
+            ckpt_max_keep=cfg.get("checkpoint_config", {}).get(
+                "max_keep_ckpts", 5),
         )
         if args.resume or args.resume_from is not None:
             runner.resume(args.resume_from)

@@ -29,8 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scflow_tpu.utils.platform import apply_env_platform, enable_compilation_cache
+from scflow_tpu.utils.platform import (apply_env_platform,
+                                       check_remote_backend_reachable,
+                                       enable_compilation_cache)
 
+check_remote_backend_reachable()
 apply_env_platform()
 enable_compilation_cache()
 

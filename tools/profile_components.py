@@ -6,6 +6,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from scflow_tpu.utils.platform import check_remote_backend_reachable
+
+check_remote_backend_reachable()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
