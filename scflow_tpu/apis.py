@@ -44,6 +44,33 @@ def build_loss_assets(model_cfg: Dict, num_class: int) -> Optional[LossAssets]:
     )
 
 
+def norm_stats_from_cfg(cfg) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """(mean, std) of the Normalize transform in the test pipeline — the
+    stats the checkpoint was trained/evaluated with.  Serving must use the
+    same ones or every frame is normalized differently from training.
+    Falls back to the reference's (0, 255) when no Normalize is found."""
+
+    def scan(node):
+        if isinstance(node, dict):
+            if node.get("type") == "Normalize":
+                return node
+            for v in node.values():
+                hit = scan(v)
+                if hit is not None:
+                    return hit
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                hit = scan(v)
+                if hit is not None:
+                    return hit
+        return None
+
+    hit = scan(cfg.data.get("test", {})) or scan(cfg.data.get("train", {}))
+    if hit is None:
+        return (0.0, 0.0, 0.0), (255.0, 255.0, 255.0)
+    return tuple(hit.get("mean", (0.0,) * 3)), tuple(hit.get("std", (255.0,) * 3))
+
+
 def init_model_variables(cfg, model, image_size=(256, 256), num_class=21,
                          seed: int = 0):
     h, w = image_size

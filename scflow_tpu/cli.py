@@ -323,6 +323,7 @@ def serve_main(argv=None):
         build_render_assets,
         init_model_variables,
         load_eval_checkpoint,
+        norm_stats_from_cfg,
     )
     from scflow_tpu.config import Config
     from scflow_tpu.refiners import build_refiner_from_config
@@ -350,9 +351,11 @@ def serve_main(argv=None):
     variables = load_eval_checkpoint(args.checkpoint, variables, cfg.model,
                                      logger)
 
+    norm_mean, norm_std = norm_stats_from_cfg(cfg)
     serve_fn = make_serving_fn(
         model, render_assets, render_assets.verts, render_assets.vert_valid,
         image_size=image_size[0],
+        norm_mean=norm_mean, norm_std=norm_std,
         iters=cfg.model.get("test_cfg", {}).get("iters"),
     )
     import jax

@@ -189,9 +189,21 @@ class DataLoader:
             done_workers = 0
             buf = []
             while done_workers < self.num_workers and not stop.is_set():
-                msg = _get(res_q)
-                if msg is _cancelled:
-                    return
+                try:
+                    msg = res_q.get(timeout=0.1)
+                except queue.Empty:
+                    # watchdog: a worker killed without posting (OOM kill,
+                    # cv2 segfault) would otherwise hang the consumer in
+                    # out_q.get() forever — the failure torch guards with
+                    # its DataLoader watchdog
+                    dead = [p for p in procs
+                            if not p.is_alive() and p.exitcode not in (0, None)]
+                    if dead:
+                        _put(out_q, _WorkerError(RuntimeError(
+                            f"worker process died with exitcode "
+                            f"{dead[0].exitcode}")))
+                        return
+                    continue
                 tag, item = msg
                 if tag == "err":
                     _put(out_q, _WorkerError(RuntimeError(item)))

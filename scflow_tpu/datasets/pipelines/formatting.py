@@ -36,12 +36,29 @@ class Compose:
                 raise TypeError(t)
         self.profile = profile or bool(os.environ.get("SCFLOW_PIPELINE_PROFILE"))
         if self.profile:
-            import threading
+            self._init_profile()
 
-            self._lock = threading.Lock()
-            self.profile_stats = {
-                t.__class__.__name__: [0, 0.0] for t in self.transforms
-            }
+    def _init_profile(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.profile_stats = {
+            t.__class__.__name__: [0, 0.0] for t in self.transforms
+        }
+
+    def __getstate__(self):
+        # keep datasets picklable for spawn-based loader workers: the
+        # profiling lock can't cross a process boundary (stats restart
+        # empty in the child — each process profiles its own work)
+        state = self.__dict__.copy()
+        state.pop("_lock", None)
+        state.pop("profile_stats", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.profile:
+            self._init_profile()
 
     def __call__(self, data):
         if not self.profile:

@@ -18,6 +18,10 @@ class CheckpointManager:
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         ocp = _ocp()
+        if max_to_keep is not None and max_to_keep <= 0:
+            # mmcv's max_keep_ckpts=-1 means "keep all"; orbax spells
+            # that None and rejects negatives
+            max_to_keep = None
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.work_dir, "checkpoints"),
             options=ocp.CheckpointManagerOptions(

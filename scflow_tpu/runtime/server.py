@@ -29,6 +29,7 @@ import json
 import queue
 import threading
 import time
+import zipfile
 from collections import deque
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence
@@ -254,11 +255,14 @@ class PoseService:
 
     def fetch(self, handle) -> List[Dict[str, np.ndarray]]:
         """Block on the device result of a `dispatch` handle and slice it
-        back per request."""
+        back per request.  Only the keys the response carries are pulled:
+        the serving fn also returns per-object masks, and transferring the
+        (B, S, S) tensor would add ~17 MB device->host per batch-64."""
         import jax
 
         out, counts = handle
-        out = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+        out = {k: np.asarray(jax.device_get(out[k]))
+               for k in ("rotations", "translations")}
         results, start = [], 0
         for p in counts:
             results.append({
@@ -355,6 +359,21 @@ class MicroBatcher:
         self._q.put(_STOP)
         for t in self._threads:
             t.join(timeout=30)
+        # fail anything still queued (submitted after stop, or stuck behind
+        # the sentinel) so waiters error fast instead of sleeping out their
+        # full result() timeout
+        leftovers = []
+        if self._held is not None and self._held is not _STOP:
+            leftovers.append(self._held)
+            self._held = None
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for req in leftovers:
+            if req is not _STOP and getattr(req, "future", None) is not None:
+                req.future.set_exception(RuntimeError("server shutting down"))
 
     def _collect(self) -> Optional[List[RefineRequest]]:
         first = self._held or self._q.get()
@@ -469,8 +488,20 @@ def make_http_server(service: PoseService, batcher: MicroBatcher,
             else:
                 self._send(404, b"not found", "text/plain")
 
+        def _drain_body(self):
+            """Consume the request body so HTTP/1.1 keep-alive stays in
+            sync (an unread payload would be parsed as the next request
+            line on this connection)."""
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def do_POST(self):
             if self.path != "/v1/refine":
+                self._drain_body()
                 self._send(404, b"not found", "text/plain")
                 return
             try:
@@ -485,7 +516,10 @@ def make_http_server(service: PoseService, batcher: MicroBatcher,
                 )
                 validate_request(req, service.frame_hw, service.num_class,
                                  max_objects=batcher.max_objects)
-            except (KeyError, ValueError, OSError) as e:
+            except (KeyError, ValueError, OSError, EOFError,
+                    zipfile.BadZipFile) as e:
+                # np.load raises EOFError on an empty body and BadZipFile
+                # on a corrupt zip — both are client errors, not crashes
                 batcher.stats.record_error()
                 self._send(400, str(e).encode(), "text/plain")
                 return

@@ -36,3 +36,31 @@ def test_merge_from_dict_dotted_keys():
     assert cfg["model"]["dtype"] == "bf16"
     assert cfg["model"]["decoder"]["iters"] == 4
     assert cfg["data"]["samples_per_gpu"] == 2
+
+
+def test_norm_stats_from_cfg():
+    from scflow_tpu.apis import norm_stats_from_cfg
+
+    cfg = Config({
+        "data": {
+            "test": {"pipeline": [
+                {"type": "LoadImages"},
+                {"type": "Normalize", "mean": [103.5, 116.3, 123.7],
+                 "std": [57.4, 57.1, 58.4]},
+            ]},
+        }
+    })
+    mean, std = norm_stats_from_cfg(cfg)
+    assert mean == (103.5, 116.3, 123.7) and std == (57.4, 57.1, 58.4)
+
+    # no Normalize anywhere -> reference defaults
+    mean, std = norm_stats_from_cfg(Config({"data": {"test": {"pipeline": []}}}))
+    assert mean == (0.0, 0.0, 0.0) and std == (255.0, 255.0, 255.0)
+
+
+def test_checkpoint_manager_accepts_mmcv_keep_all(tmp_path):
+    """mmcv's max_keep_ckpts=-1 (keep all) must map to orbax None, not a
+    ValueError at train startup."""
+    from scflow_tpu.runtime.checkpoint import CheckpointManager
+
+    CheckpointManager(str(tmp_path), max_to_keep=-1)

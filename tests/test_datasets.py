@@ -278,6 +278,27 @@ class TestTrainDataset:
         with pytest.raises(RuntimeError, match="worker failed"):
             next(iter(loader))
 
+    def test_process_worker_hard_death_detected(self):
+        """A worker killed without posting anything (OOM kill, segfault)
+        must surface as an error, not an eternal hang."""
+        loader = DataLoader(DyingDataset(), samples_per_step=2,
+                            num_workers=1, infinite=False, shuffle=False,
+                            worker_mode="process")
+        with pytest.raises(RuntimeError, match="worker failed") as ei:
+            next(iter(loader))
+        assert "exitcode 17" in str(ei.value.__cause__)
+
+    def test_profiling_dataset_still_pickles(self, train_dataset):
+        """SCFLOW_PIPELINE_PROFILE must not break spawn workers: the
+        profiling lock is dropped on pickle and rebuilt in the child."""
+        import pickle
+
+        from scflow_tpu.datasets.pipelines.formatting import Compose
+
+        prof = Compose(train_dataset.transformer.transforms, profile=True)
+        clone = pickle.loads(pickle.dumps(prof))
+        assert clone.profile and clone.profile_stats is not None
+
 
 class BrokenPicklable:
     """Module-level so spawn'd workers can unpickle it."""
@@ -287,6 +308,16 @@ class BrokenPicklable:
 
     def __getitem__(self, idx):
         raise ValueError("corrupt sample")
+
+
+class DyingDataset:
+    """Worker hard-death (no exception posted) — simulates OOM-kill/segfault."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, idx):
+        os._exit(17)
 
 
 class TestEvaluation:

@@ -181,6 +181,15 @@ class TestMicroBatcher:
         finally:
             b.stop()
 
+    def test_stop_fails_stranded_requests(self):
+        backend = FakeBackend()
+        b = MicroBatcher(backend, max_delay_ms=1.0)
+        b.stop()
+        fut = b.submit(make_request())  # enqueued after the sentinel
+        b.stop()  # drains the queue and fails the future
+        with pytest.raises(RuntimeError, match="shutting down"):
+            fut.result(timeout=5)
+
     def test_stats_quantiles(self):
         s = ServingStats()
         for ms in [1, 2, 3, 4, 100]:
@@ -345,6 +354,23 @@ class TestHTTPServer:
             with pytest.raises(HTTPError) as ei:
                 urlopen(bad, timeout=10)
             assert ei.value.code == 400
+
+            # empty body -> 400 (np.load raises EOFError), not a reset
+            empty = Request(url + "/v1/refine", data=b"")
+            with pytest.raises(HTTPError) as ei:
+                urlopen(empty, timeout=10)
+            assert ei.value.code == 400
+
+            # a 404'd POST with a body must not desync keep-alive: the
+            # next request on the same connection still works
+            import http.client
+
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            conn.request("POST", "/nope", body=b"x" * 4096)
+            assert conn.getresponse().read() == b"not found"
+            conn.request("GET", "/healthz")
+            assert conn.getresponse().read() == b"ok"
+            conn.close()
         finally:
             httpd.shutdown()
             batcher.stop()

@@ -53,7 +53,17 @@ def main():
         cfg.merge_from_dict(Config.parse_options(args.cfg_options))
     dataset = build_dataset(cfg.data[args.split])
     n = len(dataset)
-    print(f"dataset: {n} samples, pipeline:\n{dataset.transformer}")
+
+    def transformers(ds):
+        """Compose objects of ds, descending into ConcatDataset members."""
+        if hasattr(ds, "transformer"):
+            return [ds.transformer]
+        return [t for d in getattr(ds, "datasets", [])
+                for t in transformers(d)]
+
+    pipes = transformers(dataset)
+    shown = f"\n{pipes[0]}" if pipes else " (no pipeline attribute)"
+    print(f"dataset: {n} samples, pipeline:{shown}")
 
     # (a) single-thread ceiling
     t0 = time.perf_counter()
@@ -84,8 +94,16 @@ def main():
     print(f"loader ({args.workers} {args.worker_mode} workers): "
           f"{loaded:.1f} samples/s (scaling x{loaded / single:.2f})")
 
-    if args.profile and getattr(dataset.transformer, "profile_stats", None):
-        stats = dataset.transformer.profile_stats
+    stats = {}
+    for tr in pipes:
+        for name, (calls, sec) in getattr(tr, "profile_stats", {}).items():
+            cell = stats.setdefault(name, [0, 0.0])
+            cell[0] += calls
+            cell[1] += sec
+    if args.profile and stats:
+        if args.worker_mode == "process":
+            print("\n(note: the table covers main-process calls only — "
+                  "spawned loader workers profile in their own processes)")
         total = sum(s for _, s in stats.values()) or 1e-9
         rows = sorted(stats.items(), key=lambda kv: -kv[1][1])
         print(f"\n{'transform':<24}{'calls':>7}{'ms/call':>10}{'share':>8}")

@@ -89,6 +89,7 @@ def main():
         init_model_variables,
         make_infer_from_cfg,
         make_train_step_from_cfg,
+        norm_stats_from_cfg,
     )
     from scflow_tpu.config import Config
     from scflow_tpu.parallel import make_mesh, replicate, shard_batch
@@ -134,10 +135,12 @@ def main():
         from scflow_tpu.serving import make_serving_fn
 
         t0 = time.perf_counter()
+        norm_mean, norm_std = norm_stats_from_cfg(cfg)
         serve_fn = make_serving_fn(
             model, render_assets, render_assets.verts,
             render_assets.vert_valid, image_size=image_size[0],
-            iters=cfg.model.get("test_cfg", {}).get("iters"),
+            norm_mean=norm_mean, norm_std=norm_std,  # same graph consts as
+            iters=cfg.model.get("test_cfg", {}).get("iters"),  # tools/serve.py
         )
         service = PoseService(
             serve_fn, variables, frame_hw=tuple(args.frame_hw),
