@@ -385,10 +385,18 @@ def serve_main(argv=None):
     httpd = make_http_server(service, batcher, args.host, args.port)
     logger.info(f"serving on http://{args.host}:{args.port} "
                 f"(POST /v1/refine, GET /healthz, GET /v1/stats)")
+
+    import signal
+
+    def _term(signum, frame):
+        # k8s/systemd send SIGTERM on rollout; drain like Ctrl-C
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        pass
+        logger.info("shutting down (draining in-flight batches)")
     finally:
         httpd.shutdown()
         batcher.stop()
