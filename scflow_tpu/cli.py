@@ -342,9 +342,6 @@ def serve_main(argv=None):
 
     image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
     model = build_refiner_from_config(cfg.model)
-    if cfg.model["type"] != "SCFlowRefiner":
-        raise SystemExit("serving supports SCFlowRefiner configs (direct "
-                         "pose output; RAFT variants need host PnP)")
     render_assets, bank = build_render_assets(cfg.model)
     variables = init_model_variables(cfg.model, model, image_size,
                                      num_class=bank.num_class)
@@ -352,12 +349,41 @@ def serve_main(argv=None):
                                      logger)
 
     norm_mean, norm_std = norm_stats_from_cfg(cfg)
-    serve_fn = make_serving_fn(
-        model, render_assets, render_assets.verts, render_assets.vert_valid,
-        image_size=image_size[0],
-        norm_mean=norm_mean, norm_std=norm_std,
-        iters=cfg.model.get("test_cfg", {}).get("iters"),
+    test_cfg = cfg.model.get("test_cfg", {})
+    common = dict(
+        image_size=image_size[0], norm_mean=norm_mean, norm_std=norm_std,
+        iters=test_cfg.get("iters"),
     )
+    post_fn = None
+    fetch_keys = ("rotations", "translations")
+    if cfg.model["type"] == "SCFlowRefiner":
+        serve_fn = make_serving_fn(
+            model, render_assets, render_assets.verts,
+            render_assets.vert_valid, **common)
+    else:
+        # RAFT family: device flow + host PnP (reference test path,
+        # raft_refiner_flow.py:141-169)
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow
+        from scflow_tpu.serving import make_raft_serving_fn
+
+        serve_fn = make_raft_serving_fn(
+            model, render_assets, render_assets.verts,
+            render_assets.vert_valid, **common)
+        fetch_keys = ("flow", "occlusion", "rendered_depths", "new_k",
+                      "ref_rotations", "ref_translations")
+
+        def post_fn(out):
+            R, t, _ = solve_poses_from_flow(
+                out["flow"], out["rendered_depths"], out["ref_rotations"],
+                out["ref_translations"], out["new_k"],
+                occlusion=out.get("occlusion"),
+                occ_thresh=test_cfg.get("occ_thresh", 0.5),
+                sample_points=test_cfg.get("sample_points"),
+                reprojection_error=test_cfg.get("solve_pose_param", {}).get(
+                    "reprojectionerror", 3.0),
+            )
+            return {"rotations": R, "translations": t}
+
     import jax
 
     mesh = None
@@ -370,7 +396,7 @@ def serve_main(argv=None):
         serve_fn, variables, frame_hw=tuple(args.frame_hw),
         num_class=bank.num_class, max_frames=args.max_frames,
         max_objects=args.max_objects, fixed_bucket=not args.pow2_buckets,
-        mesh=mesh,
+        mesh=mesh, fetch_keys=fetch_keys, post_fn=post_fn,
     )
     logger.info("warming up (compiling the serving fn)...")
     t0 = time.perf_counter()

@@ -170,8 +170,16 @@ class PoseService:
         max_objects: int = 64,
         fixed_bucket: bool = True,
         mesh=None,
+        fetch_keys: Sequence[str] = ("rotations", "translations"),
+        post_fn: Optional[Callable] = None,
     ):
+        """`fetch_keys` limits the device->host transfer to what the
+        response (or `post_fn`) actually consumes.  `post_fn(out)` runs on
+        the fetched numpy dict and must return a dict with 'rotations' and
+        'translations' — the host PnP stage for RAFT-family serving."""
         self.serve_fn = serve_fn
+        self.fetch_keys = tuple(fetch_keys)
+        self.post_fn = post_fn
         self.frame_hw = tuple(frame_hw)
         self.num_class = num_class
         self.max_frames = max_frames
@@ -262,7 +270,9 @@ class PoseService:
 
         out, counts = handle
         out = {k: np.asarray(jax.device_get(out[k]))
-               for k in ("rotations", "translations")}
+               for k in self.fetch_keys if k in out}
+        if self.post_fn is not None:
+            out = self.post_fn(out)
         results, start = [], 0
         for p in counts:
             results.append({

@@ -104,6 +104,61 @@ def crop_resize_patches(
     return patches, new_K
 
 
+def make_raft_serving_fn(
+    model,
+    render_assets: RenderAssets,
+    points_bank: jnp.ndarray,
+    valid_bank: jnp.ndarray,
+    image_size: int = 256,
+    norm_mean=(0.0, 0.0, 0.0),
+    norm_std=(255.0, 255.0, 255.0),
+    margin: float = 1.1,
+    iters: Optional[int] = None,
+    render_backend: str = "auto",
+    lookup_backend: str = "auto",
+):
+    """RAFT-family serving: same device-side preprocessing as the SCFlow
+    path, but the network outputs flow (+occlusion), and the pose comes
+    from host PnP downstream (`flow_pose.solve_poses_from_flow`, as in the
+    reference's test path, raft_refiner_flow.py:141-169).  The returned
+    dict carries everything that host stage needs; poses solved with the
+    adapted intrinsics are already in the original camera frame."""
+
+    @jax.jit
+    def serve(variables, frames, frame_idx, ref_rotations, ref_translations,
+              K, labels):
+        boxes = project_bboxes(
+            points_bank, valid_bank, ref_rotations, ref_translations, K, labels
+        )
+        patches, newK = crop_resize_patches(
+            frames, boxes, frame_idx, K, image_size, margin
+        )
+        mean = jnp.asarray(norm_mean, jnp.float32) / 255.0
+        std = jnp.asarray(norm_std, jnp.float32) / 255.0
+        real_images = (patches - mean) / std
+        rendered_images, rendered_depths, _ = render_and_normalize(
+            render_assets, ref_rotations, ref_translations, newK, labels,
+            (image_size, image_size), norm_mean, norm_std,
+            backend=render_backend,
+        )
+        out = model.apply(
+            variables, rendered_images, real_images, iters=iters,
+            train=False, lookup_backend=lookup_backend,
+        )
+        res = {
+            "flow": out["flow"][-1],
+            "rendered_depths": rendered_depths,
+            "new_k": newK,
+            "ref_rotations": ref_rotations,
+            "ref_translations": ref_translations,
+        }
+        if "occlusion" in out:
+            res["occlusion"] = out["occlusion"][-1]
+        return res
+
+    return serve
+
+
 def make_serving_fn(
     model,
     render_assets: RenderAssets,

@@ -262,6 +262,56 @@ class TestPoseService:
                                    rtol=0, atol=2e-3)
 
 
+class TestRaftService:
+    def test_raft_serving_with_host_pnp(self, tiny_service):
+        """RAFT-family serving: device flow + host PnP in fetch's post_fn
+        (what serve_main wires for non-SCFlow configs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from scflow_tpu.refiners import RAFTRefinerFlowMask
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow
+        from scflow_tpu.serving import make_raft_serving_fn
+
+        img = 64
+        # reuse the SCFlow fixture's mesh bank via its serve_fn closure is
+        # not possible — rebuild the small assets
+        from scflow_tpu.refiners.system import RenderAssets
+        from scflow_tpu.render.meshbank import make_synthetic_bank
+
+        bank = make_synthetic_bank(2, kind="sphere", subdivisions=2, size=70.0)
+        ra = RenderAssets.from_bank(bank)
+        model = RAFTRefinerFlowMask(iters=2)
+        key = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((2, img, img, 3))
+        variables = model.init(key, dummy, dummy)
+        serve_fn = make_raft_serving_fn(model, ra, ra.verts, ra.vert_valid,
+                                        image_size=img)
+
+        def post_fn(out):
+            R, t, _ = solve_poses_from_flow(
+                out["flow"], out["rendered_depths"], out["ref_rotations"],
+                out["ref_translations"], out["new_k"],
+                occlusion=out.get("occlusion"),
+            )
+            return {"rotations": R, "translations": t}
+
+        svc = PoseService(
+            serve_fn, variables, frame_hw=tiny_service.frame_hw, num_class=2,
+            max_frames=4, max_objects=8,
+            fetch_keys=("flow", "occlusion", "rendered_depths", "new_k",
+                        "ref_rotations", "ref_translations"),
+            post_fn=post_fn,
+        )
+        out = svc.run([make_request(p=2, hw=tiny_service.frame_hw)])
+        assert out[0]["rotations"].shape == (2, 3, 3)
+        assert out[0]["translations"].shape == (2, 3)
+        rtr = np.einsum("pij,pik->pjk", out[0]["rotations"],
+                        out[0]["rotations"])
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)),
+                                   atol=1e-4)
+
+
 class TestMeshService:
     def test_sharded_matches_single_device(self, tiny_service):
         """Data-parallel serving over the 8-device CPU mesh must agree with

@@ -130,22 +130,33 @@ def main():
             print(f"infer bucket {n} compiled in "
                   f"{time.perf_counter() - t0:.1f}s")
 
-    if "serve" in what and cfg.model["type"] == "SCFlowRefiner":
+    if "serve" in what:
         from scflow_tpu.runtime.server import PoseService
-        from scflow_tpu.serving import make_serving_fn
+        from scflow_tpu.serving import make_raft_serving_fn, make_serving_fn
 
         t0 = time.perf_counter()
         norm_mean, norm_std = norm_stats_from_cfg(cfg)
-        serve_fn = make_serving_fn(
+        maker = (make_serving_fn if cfg.model["type"] == "SCFlowRefiner"
+                 else make_raft_serving_fn)
+        serve_fn = maker(
             model, render_assets, render_assets.verts,
             render_assets.vert_valid, image_size=image_size[0],
             norm_mean=norm_mean, norm_std=norm_std,  # same graph consts as
             iters=cfg.model.get("test_cfg", {}).get("iters"),  # tools/serve.py
         )
+        extra = {}
+        if cfg.model["type"] != "SCFlowRefiner":
+            # warmup only compiles — skip the host PnP stage, but fetch
+            # keys must exist in the raft output dict
+            extra = dict(
+                fetch_keys=("ref_rotations", "ref_translations"),
+                post_fn=lambda o: {"rotations": o["ref_rotations"],
+                                   "translations": o["ref_translations"]},
+            )
         service = PoseService(
             serve_fn, variables, frame_hw=tuple(args.frame_hw),
             num_class=bank.num_class, max_objects=args.max_objects,
-            mesh=mesh if n_dev > 1 else None,
+            mesh=mesh if n_dev > 1 else None, **extra,
         )
         service.warmup()
         print(f"serving fn compiled in {time.perf_counter() - t0:.1f}s")
