@@ -21,13 +21,19 @@ class _WorkerError:
         self.exc = exc
 
 
-def _process_worker(dataset, idx_q, res_q):
+def _process_worker(dataset, idx_q, res_q, seed=None):
     """Worker-process loop (module-level so spawn can pickle it).
 
     The dataset path is numpy/cv2-only (no jax import), so spawned workers
     start lean and the GIL cap on thread workers disappears — the analog of
     torch DataLoader's num_workers processes (reference train.py:48-84).
+    `seed` reproduces mmcv's worker_init_fn semantics (seed + worker_id +
+    rank * num_workers) for the pipeline's global-np.random augmentations
+    (PoseJitter, color transforms); without it each spawned process seeds
+    from OS entropy — diverse but not reproducible.
     """
+    if seed is not None:
+        np.random.seed(seed % (2**32))
     while True:
         idx = idx_q.get()
         if idx is None:
@@ -170,9 +176,12 @@ class DataLoader:
             return _cancelled
 
         procs = [
-            ctx.Process(target=_process_worker,
-                        args=(self.dataset, idx_q, res_q), daemon=True)
-            for _ in range(self.num_workers)
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, idx_q, res_q,
+                      self.seed + wid + self.process_index * self.num_workers),
+                daemon=True)
+            for wid in range(self.num_workers)
         ]
         for p in procs:
             p.start()
