@@ -71,6 +71,49 @@ def norm_stats_from_cfg(cfg) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
     return tuple(hit.get("mean", (0.0,) * 3)), tuple(hit.get("std", (255.0,) * 3))
 
 
+def make_serving_from_cfg(cfg, model, render_assets):
+    """Config-driven serving pipeline: returns (serve_fn, fetch_keys,
+    post_fn) for `runtime.server.PoseService`.
+
+    SCFlow outputs poses on-device (fetch pulls rotations/translations
+    only); RAFT-family configs output flow (+occlusion) and post_fn runs
+    the host PnP stage (reference test path, raft_refiner_flow.py:141-169)
+    against the adapted intrinsics, so poses land in the original camera
+    frame either way.  Used by `scflow-serve` and tools/warmup_cache.py.
+    """
+    from scflow_tpu.serving import make_raft_serving_fn, make_serving_fn
+
+    norm_mean, norm_std = norm_stats_from_cfg(cfg)
+    test_cfg = cfg.model.get("test_cfg", {})
+    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    common = dict(
+        image_size=image_size[0], norm_mean=norm_mean, norm_std=norm_std,
+        iters=test_cfg.get("iters"),
+    )
+    banks = (render_assets.verts, render_assets.vert_valid)
+    if cfg.model["type"] == "SCFlowRefiner":
+        serve_fn = make_serving_fn(model, render_assets, *banks, **common)
+        return serve_fn, ("rotations", "translations"), None
+
+    serve_fn = make_raft_serving_fn(model, render_assets, *banks, **common)
+    fetch_keys = ("flow", "occlusion", "rendered_depths", "new_k",
+                  "ref_rotations", "ref_translations")
+
+    def post_fn(out):
+        R, t, _ = solve_poses_from_flow(
+            out["flow"], out["rendered_depths"], out["ref_rotations"],
+            out["ref_translations"], out["new_k"],
+            occlusion=out.get("occlusion"),
+            occ_thresh=test_cfg.get("occ_thresh", 0.5),
+            sample_points=test_cfg.get("sample_points"),
+            reprojection_error=test_cfg.get("solve_pose_param", {}).get(
+                "reprojectionerror", 3.0),
+        )
+        return {"rotations": R, "translations": t}
+
+    return serve_fn, fetch_keys, post_fn
+
+
 def init_model_variables(cfg, model, image_size=(256, 256), num_class=21,
                          seed: int = 0):
     h, w = image_size

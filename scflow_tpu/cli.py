@@ -323,7 +323,7 @@ def serve_main(argv=None):
         build_render_assets,
         init_model_variables,
         load_eval_checkpoint,
-        norm_stats_from_cfg,
+        make_serving_from_cfg,
     )
     from scflow_tpu.config import Config
     from scflow_tpu.refiners import build_refiner_from_config
@@ -332,7 +332,6 @@ def serve_main(argv=None):
         PoseService,
         make_http_server,
     )
-    from scflow_tpu.serving import make_serving_fn
     from scflow_tpu.utils.logging import get_logger
 
     logger = get_logger("scflow_tpu")
@@ -348,41 +347,8 @@ def serve_main(argv=None):
     variables = load_eval_checkpoint(args.checkpoint, variables, cfg.model,
                                      logger)
 
-    norm_mean, norm_std = norm_stats_from_cfg(cfg)
-    test_cfg = cfg.model.get("test_cfg", {})
-    common = dict(
-        image_size=image_size[0], norm_mean=norm_mean, norm_std=norm_std,
-        iters=test_cfg.get("iters"),
-    )
-    post_fn = None
-    fetch_keys = ("rotations", "translations")
-    if cfg.model["type"] == "SCFlowRefiner":
-        serve_fn = make_serving_fn(
-            model, render_assets, render_assets.verts,
-            render_assets.vert_valid, **common)
-    else:
-        # RAFT family: device flow + host PnP (reference test path,
-        # raft_refiner_flow.py:141-169)
-        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow
-        from scflow_tpu.serving import make_raft_serving_fn
-
-        serve_fn = make_raft_serving_fn(
-            model, render_assets, render_assets.verts,
-            render_assets.vert_valid, **common)
-        fetch_keys = ("flow", "occlusion", "rendered_depths", "new_k",
-                      "ref_rotations", "ref_translations")
-
-        def post_fn(out):
-            R, t, _ = solve_poses_from_flow(
-                out["flow"], out["rendered_depths"], out["ref_rotations"],
-                out["ref_translations"], out["new_k"],
-                occlusion=out.get("occlusion"),
-                occ_thresh=test_cfg.get("occ_thresh", 0.5),
-                sample_points=test_cfg.get("sample_points"),
-                reprojection_error=test_cfg.get("solve_pose_param", {}).get(
-                    "reprojectionerror", 3.0),
-            )
-            return {"rotations": R, "translations": t}
+    serve_fn, fetch_keys, post_fn = make_serving_from_cfg(cfg, model,
+                                                          render_assets)
 
     import jax
 

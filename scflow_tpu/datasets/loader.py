@@ -21,6 +21,18 @@ class _WorkerError:
         self.exc = exc
 
 
+def _stoppable_put(q, item, stop) -> bool:
+    """put() that re-checks `stop` every 0.1 s: a thread parked in a plain
+    blocking put would never observe cancellation (see _iter_thread)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _process_worker(dataset, idx_q, res_q, seed=None):
     """Worker-process loop (module-level so spawn can pickle it).
 
@@ -156,24 +168,9 @@ class DataLoader:
         )
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
-        _cancelled = object()
 
         def _put(q, item):
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def _get(q):
-            while not stop.is_set():
-                try:
-                    return q.get(timeout=0.1)
-                except queue.Empty:
-                    continue
-            return _cancelled
+            return _stoppable_put(q, item, stop)
 
         procs = [
             ctx.Process(
@@ -267,13 +264,7 @@ class DataLoader:
         _cancelled = object()
 
         def _put(q, item):
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return _stoppable_put(q, item, stop)
 
         def _get(q):
             while not stop.is_set():

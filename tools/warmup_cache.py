@@ -89,7 +89,6 @@ def main():
         init_model_variables,
         make_infer_from_cfg,
         make_train_step_from_cfg,
-        norm_stats_from_cfg,
     )
     from scflow_tpu.config import Config
     from scflow_tpu.parallel import make_mesh, replicate, shard_batch
@@ -131,32 +130,19 @@ def main():
                   f"{time.perf_counter() - t0:.1f}s")
 
     if "serve" in what:
+        from scflow_tpu.apis import make_serving_from_cfg
         from scflow_tpu.runtime.server import PoseService
-        from scflow_tpu.serving import make_raft_serving_fn, make_serving_fn
 
         t0 = time.perf_counter()
-        norm_mean, norm_std = norm_stats_from_cfg(cfg)
-        maker = (make_serving_fn if cfg.model["type"] == "SCFlowRefiner"
-                 else make_raft_serving_fn)
-        serve_fn = maker(
-            model, render_assets, render_assets.verts,
-            render_assets.vert_valid, image_size=image_size[0],
-            norm_mean=norm_mean, norm_std=norm_std,  # same graph consts as
-            iters=cfg.model.get("test_cfg", {}).get("iters"),  # tools/serve.py
-        )
-        extra = {}
-        if cfg.model["type"] != "SCFlowRefiner":
-            # warmup only compiles — skip the host PnP stage, but fetch
-            # keys must exist in the raft output dict
-            extra = dict(
-                fetch_keys=("ref_rotations", "ref_translations"),
-                post_fn=lambda o: {"rotations": o["ref_rotations"],
-                                   "translations": o["ref_translations"]},
-            )
+        # same builder as scflow-serve, so the compiled graph constants
+        # (norm stats, iters) match the real server's cache keys exactly
+        serve_fn, fetch_keys, post_fn = make_serving_from_cfg(
+            cfg, model, render_assets)
         service = PoseService(
             serve_fn, variables, frame_hw=tuple(args.frame_hw),
             num_class=bank.num_class, max_objects=args.max_objects,
-            mesh=mesh if n_dev > 1 else None, **extra,
+            mesh=mesh if n_dev > 1 else None,
+            fetch_keys=fetch_keys, post_fn=post_fn,
         )
         service.warmup()
         print(f"serving fn compiled in {time.perf_counter() - t0:.1f}s")
