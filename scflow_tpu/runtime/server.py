@@ -71,6 +71,11 @@ def validate_request(req: RefineRequest, frame_hw, num_class: int,
             f"frame must be {h}x{w} (server frame_hw), got "
             f"{req.frame.shape[0]}x{req.frame.shape[1]}"
         )
+    if req.frame.dtype != np.uint8 and req.frame.size and \
+            float(req.frame.max()) > 1.5:
+        raise ValueError(
+            "float frames must be in [0, 1] (got max "
+            f"{float(req.frame.max()):.1f}); send uint8 for 0-255 data")
     p = req.num_objects
     if p == 0:
         raise ValueError("request has no objects")

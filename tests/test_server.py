@@ -39,6 +39,12 @@ class TestValidation:
     def test_accepts_well_formed(self):
         validate_request(make_request(), (32, 40), 2)
 
+    def test_rejects_0_255_float_frames(self):
+        req = make_request()
+        req.frame = req.frame.astype(np.float32)  # 0..255 floats
+        with pytest.raises(ValueError, match="float frames"):
+            validate_request(req, (32, 40), 2)
+
     def test_rejects_over_budget(self):
         with pytest.raises(ValueError, match="batch budget"):
             validate_request(make_request(p=9), (32, 40), 2, max_objects=8)
