@@ -17,6 +17,7 @@ from scflow_tpu.refiners.system import (
     make_raft_train_step,
     make_scflow_infer_fn,
     make_scflow_train_step,
+    render_and_normalize,
 )
 from scflow_tpu.render.meshbank import MeshBank
 from scflow_tpu.runtime import convert_torch_checkpoint, load_params
@@ -283,7 +284,7 @@ def build_tb_image_fn(cfg, model, render_assets, image_size=(256, 256)):
     runner's last training batch (reference TensorboardImgLoggerHook protocol,
     models/utils/tensorboard_hook.py:27-60 + base_refiner.add_vis_images)."""
     from scflow_tpu.geometry.flow import flow_from_pose_and_depth
-    from scflow_tpu.utils.visualize import flow2rgb
+    from scflow_tpu.utils.visualize import flow2rgb, simple_forward_warp
 
     infer, _ = make_infer_from_cfg(cfg, model, render_assets, image_size)
     norm_mean = np.asarray(cfg.get("normalize_mean", [0.0, 0.0, 0.0]))
@@ -309,6 +310,21 @@ def build_tb_image_fn(cfg, model, render_assets, image_size=(256, 256)):
         if "masks" in out:
             m = np.asarray(out["masks"][0])
             imgs["train/pred_mask"] = np.repeat(m[..., None], 3, axis=-1)
+        if "flow" in out:
+            # reference debug panel (base_refiner.py:356-362): the rendered
+            # image forward-warped by the predicted flow should line up
+            # with the real image when the flow is right
+            rendered, _, rmasks = jax.device_get(render_and_normalize(
+                render_assets, batch["ref_rotations"][:1],
+                batch["ref_translations"][:1], batch["k"][:1],
+                batch["labels"][:1], tuple(image_size),
+                tuple(norm_mean), tuple(norm_std), chunk=1,
+            ))
+            rendered_disp = np.clip(
+                (np.asarray(rendered[0]) * norm_std + norm_mean) / 255.0, 0, 1)
+            imgs["train/warped_render"] = simple_forward_warp(
+                rendered_disp, np.asarray(out["flow"][0]),
+                np.asarray(rmasks[0]))
         if "gt_rotations" in batch:
             gt_flow = np.asarray(
                 jax.device_get(

@@ -95,3 +95,20 @@ def make_grid(images: Sequence[np.ndarray], cols: int = 4, pad: int = 2) -> np.n
         r, c = divmod(i, cols)
         grid[r * (h + pad) : r * (h + pad) + h, c * (w + pad) : c * (w + pad) + w] = img
     return grid
+
+
+def simple_forward_warp(image, flow, mask, background=(0.5, 0.5, 0.5)):
+    """Forward-splat `image` (H, W, 3) by `flow` (H, W, 2) at masked pixels —
+    the reference's debug visualization of flow alignment
+    (models/utils/utils.py:81-97): nearest-pixel scatter, truncating target
+    coordinates like the torch .to(int64) cast, unfilled pixels = background.
+    Host-side numpy; debug/TB panels only."""
+    h, w = image.shape[:2]
+    out = np.empty_like(image)
+    out[...] = np.asarray(background, image.dtype)
+    ys, xs = np.nonzero(mask > 0.5)
+    if len(ys):
+        wx = np.clip(xs + flow[ys, xs, 0], 0, w - 1).astype(np.int64)
+        wy = np.clip(ys + flow[ys, xs, 1], 0, h - 1).astype(np.int64)
+        out[wy, wx] = image[ys, xs]
+    return out

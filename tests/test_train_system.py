@@ -361,3 +361,50 @@ class TestTensorboardHookOptional:
 
         hook.after_train_iter(R())  # no-op, no crash
         hook.after_run(R())
+
+
+class TestTBImagePanels:
+    def test_simple_forward_warp_numpy(self):
+        from scflow_tpu.utils.visualize import simple_forward_warp
+
+        img = np.zeros((8, 8, 3), np.float32)
+        img[2, 3] = 1.0
+        mask = np.zeros((8, 8), np.float32)
+        mask[2, 3] = 1.0
+        flow = np.zeros((8, 8, 2), np.float32)
+        flow[2, 3] = [2.0, 1.0]  # dx, dy
+        out = simple_forward_warp(img, flow, mask, background=(0.5, 0.5, 0.5))
+        assert np.all(out[3, 5] == 1.0)  # moved pixel
+        assert np.all(out[2, 3] == 0.5)  # source is background now
+
+    def test_build_tb_image_fn_panels(self, setup):
+        """image_fn returns the reference's debug panels (real image,
+        pred/gt flow, pred mask, forward-warped render) in [0, 1]."""
+        from types import SimpleNamespace
+
+        from scflow_tpu.apis import build_tb_image_fn
+        from scflow_tpu.config import Config
+
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        cfg = Config({
+            "model": {
+                "type": "SCFlowRefiner",
+                "renderer": {"image_size": (H, W)},
+                "test_cfg": {"iters": 2},
+            },
+        })
+        image_fn = build_tb_image_fn(cfg, model, render_assets,
+                                     image_size=(H, W))
+        tx, _ = build_optimizer(
+            dict(type="AdamW", lr=1e-3, weight_decay=1e-4), None,
+            grad_clip=10.0)
+        state = TrainState.create(variables["params"], tx,
+                                  variables.get("batch_stats"))
+        runner = SimpleNamespace(last_batch=batch, state=state)
+        imgs = image_fn(runner)
+        for key in ("train/real_image", "train/pred_flow", "train/pred_mask",
+                    "train/gt_flow", "train/warped_render"):
+            assert key in imgs, f"missing panel {key}"
+            panel = imgs[key]
+            assert panel.ndim == 3 and panel.shape[-1] == 3
+            assert float(panel.min()) >= 0.0 and float(panel.max()) <= 1.0
