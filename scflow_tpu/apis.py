@@ -236,6 +236,23 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
                                  iters=iters),
             None,
         )
+    if test_cfg.get("pnp_backend", "host") == "device":
+        # TPU-native eval: batched RANSAC PnP inside the jit; the output
+        # carries poses directly like the SCFlow path
+        pnp_cfg = dict(
+            occ_thresh=test_cfg.get("occ_thresh", 0.5),
+            reprojection_error=test_cfg.get("solve_pose_param", {}).get(
+                "reprojectionerror", 3.0),
+        )
+        sp = test_cfg.get("sample_points")
+        if sp and "num" in sp:
+            pnp_cfg["num_points"] = sp["num"]
+        return (
+            make_raft_infer_fn(model, render_assets, image_size=image_size,
+                               iters=iters, pnp_backend="device",
+                               pnp_cfg=pnp_cfg),
+            None,
+        )
     infer = make_raft_infer_fn(model, render_assets, image_size=image_size,
                                iters=iters)
 

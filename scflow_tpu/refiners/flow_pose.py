@@ -70,3 +70,77 @@ def solve_poses_from_flow(
         if ret:
             out_r[i], out_t[i], ok[i] = R, t, True
     return out_r, out_t, ok
+
+
+def solve_poses_from_flow_device(
+    flow,  # (N, H, W, 2) jnp
+    rendered_depths,  # (N, H, W)
+    ref_rotations,  # (N, 3, 3)
+    ref_translations,  # (N, 3)
+    internal_k,  # (N, 3, 3)
+    occlusion=None,  # (N, H, W) confidence
+    occ_thresh: float = 0.5,
+    num_points: int = 1024,
+    num_hypotheses: int = 64,
+    reprojection_error: float = 3.0,
+    key=None,
+):
+    """TPU-native pose recovery from flow: fixed-shape batched RANSAC PnP
+    inside the graph (geometry/pnp.py), replacing the per-object host cv2
+    loop the reference runs (base_flow_refiner.py:99-155).  Jittable; no
+    device->host round trip, so eval stays on-chip end to end.
+
+    Selection: the `num_points` highest-confidence valid pixels (occlusion
+    confidence when predicted, otherwise a fixed pseudo-random score — a
+    deterministic spatially-uniform subsample).  Failed solves keep the
+    reference pose, as the host path does.
+
+    Limitation: the minimal solver is DLT-based, which is degenerate for
+    (near-)coplanar point sets.  Rendered object depths have 3D relief, so
+    this is fine for the intended use; for planar targets keep the default
+    host path (cv2 EPnP handles planarity).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from scflow_tpu.geometry.camera import (coords_grid,
+                                            lift_depth_to_object_points)
+    from scflow_tpu.geometry.pnp import solve_pnp_ransac_jax
+
+    n, h, w = rendered_depths.shape
+    pts_obj, valid = lift_depth_to_object_points(
+        rendered_depths, internal_k, ref_rotations, ref_translations)
+    if occlusion is not None:
+        valid = valid & (occlusion > occ_thresh)
+        score = occlusion
+    else:
+        # fixed pseudo-random tie-break: top_k over a constant would pick
+        # raster-order pixels (spatially biased toward the top rows)
+        score = jax.random.uniform(jax.random.PRNGKey(7), (h, w))[None]
+        score = jnp.broadcast_to(score, (n, h, w))
+    score = jnp.where(valid, score.astype(flow.dtype), -jnp.inf)
+
+    grid = coords_grid(h, w, flow.dtype)  # (H, W, 2) in (x, y)
+    tgt = grid[None] + flow  # (N, H, W, 2)
+
+    flat_score = score.reshape(n, h * w)
+    _, idx = jax.lax.top_k(flat_score, num_points)  # (N, P)
+    take = lambda a: jnp.take_along_axis(
+        a.reshape(n, h * w, a.shape[-1]), idx[..., None], axis=1)
+    p3d = take(pts_obj)
+    p2d = take(tgt)
+    val_sel = jnp.take_along_axis(valid.reshape(n, h * w), idx, axis=1)
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n)
+    solver = jax.vmap(partial(
+        solve_pnp_ransac_jax,
+        num_hypotheses=num_hypotheses,
+        inlier_thresh_px=reprojection_error,
+    ))
+    res = solver(p3d, p2d, internal_k, val_sel, keys)
+    ok = res.ok & (val_sel.sum(axis=1) >= 4)
+    R = jnp.where(ok[:, None, None], res.rotation, ref_rotations)
+    t = jnp.where(ok[:, None], res.translation, ref_translations)
+    return R, t, ok

@@ -391,9 +391,18 @@ def make_raft_infer_fn(
     render_chunk: int = 64,
     render_backend: str = "auto",
     lookup_backend: str = "auto",
+    pnp_backend: str = "host",
+    pnp_cfg: Optional[Dict[str, Any]] = None,
 ):
     """Inference for RAFT refiners: returns final flow (+occlusion) and the
-    rendered depth the host PnP step consumes (flow_pose.solve_poses_from_flow)."""
+    rendered depth the host PnP step consumes (flow_pose.solve_poses_from_flow).
+
+    pnp_backend='device' (config `test_cfg.pnp_backend`) instead solves the
+    pose INSIDE the jit with the batched RANSAC-DLT-GN solver
+    (geometry/pnp.py + flow_pose.solve_poses_from_flow_device): the output
+    then carries 'rotations'/'translations' directly and eval skips the
+    per-object host cv2 loop (reference base_flow_refiner.py:99-155)."""
+    pnp_cfg = dict(pnp_cfg or {})
 
     @jax.jit
     def infer(variables, batch):
@@ -413,6 +422,16 @@ def make_raft_infer_fn(
         }
         if "occlusion" in out:
             res["occlusion"] = out["occlusion"][-1]
+        if pnp_backend == "device":
+            from scflow_tpu.refiners.flow_pose import \
+                solve_poses_from_flow_device
+
+            R, t, ok = solve_poses_from_flow_device(
+                res["flow"], rendered_depths, batch["ref_rotations"],
+                batch["ref_translations"], batch["k"],
+                occlusion=res.get("occlusion"), **pnp_cfg,
+            )
+            res.update({"rotations": R, "translations": t, "pnp_ok": ok})
         return res
 
     return infer

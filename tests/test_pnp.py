@@ -138,3 +138,95 @@ class TestFlowPose:
         for i in range(n):
             assert rot_err_deg(R_out[i], gt_R[i]) < 1.0
             assert np.linalg.norm(t_out[i] - gt_t[i]) < 5.0
+
+
+class TestDeviceFlowPnP:
+    """solve_poses_from_flow_device: the jitted batched flow->pose path
+    (test_cfg.pnp_backend='device')."""
+
+    def _scene(self, rng, n=2, hw=(96, 96)):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from scflow_tpu.geometry.flow import flow_from_pose_and_depth
+
+        h, w = hw
+        K = np.tile(np.array([[[120.0, 0, w / 2], [0, 120.0, h / 2],
+                               [0, 0, 1]]], np.float32), (n, 1, 1))
+        ref_R = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+        ref_t = np.tile(np.array([[0, 0, 600.0]], np.float32), (n, 1))
+        dR = Rotation.from_euler(
+            "xyz", rng.normal(size=(n, 3)) * 5, degrees=True
+        ).as_matrix().astype(np.float32)
+        gt_R = np.einsum("nij,njk->nik", dR, ref_R)
+        gt_t = ref_t + rng.normal(size=(n, 3)).astype(np.float32) * [4, 4, 10]
+        # hemisphere depth bump: real renders have 3D relief, which the
+        # DLT-based device solver needs (near-planar point sets are DLT-
+        # degenerate — that case stays on the host cv2-EPnP default path)
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = ((xx - w / 2) / (w * 0.3)) ** 2 + ((yy - h / 2) / (h * 0.3)) ** 2
+        bump = np.where(
+            r2 < 1, 600.0 - 40.0 * np.sqrt(np.maximum(1 - r2, 0)), 0.0
+        ).astype(np.float32)
+        depth = np.tile(bump[None], (n, 1, 1))
+        flow = np.asarray(flow_from_pose_and_depth(
+            jnp.asarray(ref_R), jnp.asarray(ref_t), jnp.asarray(gt_R),
+            jnp.asarray(gt_t), jnp.asarray(depth), jnp.asarray(K),
+            invalid_num=0.0,
+        ))
+        return flow, depth, ref_R, ref_t, gt_R, gt_t, K
+
+    def test_recovers_gt_pose(self, rng):
+        import jax.numpy as jnp
+
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow_device
+
+        flow, depth, ref_R, ref_t, gt_R, gt_t, K = self._scene(rng)
+        R, t, ok = solve_poses_from_flow_device(
+            jnp.asarray(flow), jnp.asarray(depth), jnp.asarray(ref_R),
+            jnp.asarray(ref_t), jnp.asarray(K), num_points=512,
+        )
+        R, t, ok = np.asarray(R), np.asarray(t), np.asarray(ok)
+        assert ok.all()
+        for i in range(len(R)):
+            assert rot_err_deg(R[i], gt_R[i]) < 0.5
+            assert np.linalg.norm(t[i] - gt_t[i]) < 2.0
+
+    def test_failed_solve_keeps_ref_pose(self, rng):
+        import jax.numpy as jnp
+
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow_device
+
+        flow, depth, ref_R, ref_t, gt_R, gt_t, K = self._scene(rng)
+        depth[1] = 0.0  # no valid pixels for sample 1
+        R, t, ok = solve_poses_from_flow_device(
+            jnp.asarray(flow), jnp.asarray(depth), jnp.asarray(ref_R),
+            jnp.asarray(ref_t), jnp.asarray(K), num_points=256,
+        )
+        assert not bool(np.asarray(ok)[1])
+        np.testing.assert_array_equal(np.asarray(R)[1], ref_R[1])
+        np.testing.assert_array_equal(np.asarray(t)[1], ref_t[1])
+
+    def test_occlusion_confidence_filters_points(self, rng):
+        """Corrupt the flow where confidence is low: with occlusion-driven
+        selection the solve must still recover the gt pose."""
+        import jax.numpy as jnp
+
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow_device
+
+        flow, depth, ref_R, ref_t, gt_R, gt_t, K = self._scene(rng)
+        flow = np.array(flow)  # np.asarray over a jax array is read-only
+        h = depth.shape[1]
+        occ = np.where(depth > 0, 1.0, 0.0).astype(np.float32)
+        # bottom half: garbage flow, low confidence
+        flow[:, h // 2:] += 40.0
+        occ[:, h // 2:] *= 0.1
+        R, t, ok = solve_poses_from_flow_device(
+            jnp.asarray(flow), jnp.asarray(depth), jnp.asarray(ref_R),
+            jnp.asarray(ref_t), jnp.asarray(K), occlusion=jnp.asarray(occ),
+            occ_thresh=0.5, num_points=512,
+        )
+        R, t = np.asarray(R), np.asarray(t)
+        assert np.asarray(ok).all()
+        for i in range(len(R)):
+            assert rot_err_deg(R[i], gt_R[i]) < 0.5
