@@ -96,6 +96,22 @@ def make_serving_from_cfg(cfg, model, render_assets):
         serve_fn = make_serving_fn(model, render_assets, *banks, **common)
         return serve_fn, ("rotations", "translations"), None
 
+    if test_cfg.get("pnp_backend", "host") == "device":
+        # whole serve is one jit: pose solved in-graph (see
+        # solve_poses_from_flow_device's planar-degeneracy note)
+        pnp_cfg = dict(
+            occ_thresh=test_cfg.get("occ_thresh", 0.5),
+            reprojection_error=test_cfg.get("solve_pose_param", {}).get(
+                "reprojectionerror", 3.0),
+        )
+        sp = test_cfg.get("sample_points")
+        if sp and "num" in sp:
+            pnp_cfg["num_points"] = sp["num"]
+        serve_fn = make_raft_serving_fn(
+            model, render_assets, *banks, pnp_backend="device",
+            pnp_cfg=pnp_cfg, **common)
+        return serve_fn, ("rotations", "translations"), None
+
     serve_fn = make_raft_serving_fn(model, render_assets, *banks, **common)
     fetch_keys = ("flow", "occlusion", "rendered_depths", "new_k",
                   "ref_rotations", "ref_translations")

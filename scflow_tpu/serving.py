@@ -116,13 +116,21 @@ def make_raft_serving_fn(
     iters: Optional[int] = None,
     render_backend: str = "auto",
     lookup_backend: str = "auto",
+    pnp_backend: str = "host",
+    pnp_cfg=None,
 ):
     """RAFT-family serving: same device-side preprocessing as the SCFlow
     path, but the network outputs flow (+occlusion), and the pose comes
     from host PnP downstream (`flow_pose.solve_poses_from_flow`, as in the
     reference's test path, raft_refiner_flow.py:141-169).  The returned
     dict carries everything that host stage needs; poses solved with the
-    adapted intrinsics are already in the original camera frame."""
+    adapted intrinsics are already in the original camera frame.
+
+    pnp_backend='device' solves the pose in-graph instead
+    (`flow_pose.solve_poses_from_flow_device`), making the whole serve one
+    jit with direct rotations/translations output (DLT-based — see that
+    function's planar-degeneracy note)."""
+    pnp_cfg = dict(pnp_cfg or {})
 
     @jax.jit
     def serve(variables, frames, frame_idx, ref_rotations, ref_translations,
@@ -154,6 +162,16 @@ def make_raft_serving_fn(
         }
         if "occlusion" in out:
             res["occlusion"] = out["occlusion"][-1]
+        if pnp_backend == "device":
+            from scflow_tpu.refiners.flow_pose import \
+                solve_poses_from_flow_device
+
+            R, t, ok = solve_poses_from_flow_device(
+                res["flow"], rendered_depths, ref_rotations,
+                ref_translations, newK, occlusion=res.get("occlusion"),
+                **pnp_cfg,
+            )
+            res.update({"rotations": R, "translations": t, "pnp_ok": ok})
         return res
 
     return serve
