@@ -79,6 +79,68 @@ def pnp_dlt(
     return R, t
 
 
+def pnp_planar(
+    points_3d: jnp.ndarray,  # (P, 3)
+    points_2d: jnp.ndarray,  # (P, 2) pixels
+    K: jnp.ndarray,  # (3, 3)
+    weights: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Planar-capable pose solve: fit the best plane through the 3D points
+    (weighted PCA), express them in plane coordinates, estimate the
+    plane->image homography by DLT, and decompose it into [R|t]
+    (IPPE/Zhang-style).  Exact complement of `pnp_dlt`, whose 3x4 DLT is
+    rank-deficient for coplanar points; for genuinely 3D point sets the
+    plane projection discards depth and this solve is the weaker one —
+    `solve_pnp_ransac_jax` runs both and keeps whichever reprojects better.
+    """
+    p = points_3d.shape[0]
+    xn = _normalize_points(points_2d, K)
+    if weights is None:
+        weights = jnp.ones((p,), points_3d.dtype)
+    w = jnp.maximum(weights, 0.0)
+    wsum = jnp.maximum(w.sum(), 1e-8)
+
+    # weighted plane fit: centroid + principal axes
+    c = (points_3d * w[:, None]).sum(0) / wsum
+    X = points_3d - c
+    cov = (X * w[:, None]).T @ X / wsum
+    _, evecs = jnp.linalg.eigh(cov)  # ascending: evecs[:, 0] = normal
+    e1, e2 = evecs[:, 2], evecs[:, 1]
+    q = jnp.stack([X @ e1, X @ e2], axis=-1)  # (P, 2) plane coords
+
+    # homography DLT: [u, v, 1] -> xn, rows scaled by sqrt weights
+    sw = jnp.sqrt(w)[:, None]
+    Q = jnp.concatenate([q, jnp.ones((p, 1), q.dtype)], axis=-1)
+    zeros = jnp.zeros_like(Q)
+    u = xn[:, 0:1]
+    v = xn[:, 1:2]
+    row_u = jnp.concatenate([Q, zeros, -u * Q], axis=-1) * sw
+    row_v = jnp.concatenate([zeros, Q, -v * Q], axis=-1) * sw
+    A = jnp.concatenate([row_u, row_v], axis=0)  # (2P, 9)
+    _, hvecs = jnp.linalg.eigh(A.T @ A)
+    H = hvecs[:, 0].reshape(3, 3)
+
+    # x_n ~ [R e1, R e2, R c + t] [u, v, 1]^T  =>  H ≅ [a1, a2, b]
+    h1, h2, b = H[:, 0], H[:, 1], H[:, 2]
+    scale = jnp.sqrt(jnp.maximum(
+        jnp.linalg.norm(h1) * jnp.linalg.norm(h2), 1e-12))
+    # cheirality: the plane centroid must sit at positive depth
+    sign = jnp.where(b[2] < 0, -1.0, 1.0)
+    a1 = h1 * sign / scale
+    a2 = h2 * sign / scale
+    b = b * sign / scale
+    # orthonormalize [a1 a2 a1xa2] -> A_rot; R maps [e1 e2 n] onto it
+    A_rot = jnp.stack([a1, a2, jnp.cross(a1, a2)], axis=-1)
+    U, _, Vt = jnp.linalg.svd(A_rot)
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0])).at[2, 2].set(
+        jnp.linalg.det(U @ Vt))
+    A_rot = U @ D @ Vt
+    E = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=-1)
+    R = A_rot @ E.T
+    t = b - R @ c
+    return R, t
+
+
 def _reproject_residual(rvec, t, points_3d, xn):
     R = rotmat_from_axis_angle(rvec)
     cam = points_3d @ R.T + t
@@ -139,7 +201,6 @@ def solve_pnp_ransac_jax(
     p = points_3d.shape[0]
     if valid is None:
         valid = jnp.ones((p,), bool)
-    validf = valid.astype(points_3d.dtype)
     key = key if key is not None else jax.random.PRNGKey(0)
 
     # hypothesis sampling: gumbel top-k over valid points (without replacement)
@@ -159,8 +220,30 @@ def solve_pnp_ransac_jax(
         proj = uvw[:, :2] / z[:, None]
         return jnp.linalg.norm(proj - points_2d, axis=-1)
 
+    def best_of_both(p3, p2, weights):
+        """General DLT and planar-homography solves side by side; keep the
+        one that reprojects better (DLT is degenerate for coplanar points,
+        the planar path is weak for 3D relief — together they cover both)."""
+        R_g, t_g = pnp_dlt(p3, p2, K, weights=weights)
+        R_p, t_p = pnp_planar(p3, p2, K, weights=weights)
+
+        def med_err(R, t):
+            cam = points_3d @ R.T + t
+            z = jnp.where(jnp.abs(cam[:, 2]) > 1e-8, cam[:, 2], 1e-8)
+            proj = (cam @ K.T)[:, :2] / z[:, None]
+            err = jnp.linalg.norm(proj - points_2d, axis=-1)
+            big = jnp.float32(1e9)
+            err = jnp.where(valid, jnp.nan_to_num(err, nan=big), big)
+            # median of the VALID errors: invalid/padded entries sort last
+            return jnp.sort(err)[valid.sum() // 2]
+
+        pick_g = med_err(R_g, t_g) <= med_err(R_p, t_p)
+        R = jnp.where(pick_g, R_g, R_p)
+        t = jnp.where(pick_g, t_g, t_p)
+        return R, t
+
     def hypothesis(idx):
-        R, t = pnp_dlt(points_3d[idx], points_2d[idx], K)
+        R, t = best_of_both(points_3d[idx], points_2d[idx], None)
         err = reproj_err_px(R, t)
         inl = (err < inlier_thresh_px) & valid
         return R, t, inl, inl.sum()
@@ -170,9 +253,9 @@ def solve_pnp_ransac_jax(
     R_best, t_best, inl_best = Rs[best], ts[best], inls[best]
     enough = scores[best] >= sample_size
 
-    # refit on inliers (weighted DLT) then Gauss-Newton refine
+    # refit on inliers (weighted dual-path) then Gauss-Newton refine
     w = inl_best.astype(points_3d.dtype)
-    R_fit, t_fit = pnp_dlt(points_3d, points_2d, K, weights=w)
+    R_fit, t_fit = best_of_both(points_3d, points_2d, w)
     R_ref, t_ref = refine_gauss_newton(
         R_fit, t_fit, points_3d, points_2d, K, weights=w, iters=refine_iters
     )

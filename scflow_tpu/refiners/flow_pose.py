@@ -95,10 +95,10 @@ def solve_poses_from_flow_device(
     deterministic spatially-uniform subsample).  Failed solves keep the
     reference pose, as the host path does.
 
-    Limitation: the minimal solver is DLT-based, which is degenerate for
-    (near-)coplanar point sets.  Rendered object depths have 3D relief, so
-    this is fine for the intended use; for planar targets keep the default
-    host path (cv2 EPnP handles planarity).
+    The solver runs general DLT and a planar-homography decomposition side
+    by side and keeps whichever reprojects better (geometry/pnp.py
+    `best_of_both`), so (near-)coplanar point sets — where plain DLT is
+    rank-deficient — solve correctly too.
     """
     import jax
     import jax.numpy as jnp

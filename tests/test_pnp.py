@@ -57,6 +57,62 @@ class TestDLT:
         assert np.linalg.norm(np.asarray(tr) - t) < 10.0
 
 
+def make_planar_problem(rng, n_points=64, noise_px=0.0):
+    """Points on an arbitrary 3D plane — the DLT-degenerate configuration."""
+    from scipy.spatial.transform import Rotation
+
+    pts3d, _, K, R, t = make_pnp_problem(rng, n_points=n_points)
+    basis = Rotation.random(
+        random_state=int(rng.integers(1 << 30))).as_matrix().astype(np.float32)
+    uv = rng.uniform(-60, 60, size=(n_points, 2)).astype(np.float32)
+    pts3d = uv @ basis[:, :2].T  # plane through the origin, arbitrary tilt
+    cam = pts3d @ R.T + t
+    proj = cam @ K.T
+    pts2d = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
+    if noise_px:
+        pts2d += rng.normal(0, noise_px, pts2d.shape).astype(np.float32)
+    return pts3d, pts2d, K, R, t
+
+
+class TestPlanar:
+    def test_planar_clean_exact(self, rng):
+        from scflow_tpu.geometry.pnp import pnp_planar
+
+        pts3d, pts2d, K, R, t = make_planar_problem(rng)
+        Rp, tp = pnp_planar(jnp.asarray(pts3d), jnp.asarray(pts2d),
+                            jnp.asarray(K))
+        # minimal-solver accuracy: the homography scale recovery is a
+        # heuristic (sqrt(|h1||h2|)); RANSAC always GN-refines afterwards
+        assert rot_err_deg(np.asarray(Rp), R) < 0.5
+        np.testing.assert_allclose(np.asarray(tp), t, rtol=5e-3, atol=2.0)
+
+    def test_ransac_handles_planar_scene(self, rng):
+        """The dual-path RANSAC must solve the configuration plain DLT
+        cannot (coplanar points)."""
+        pts3d, pts2d, K, R, t = make_planar_problem(rng, n_points=128,
+                                                    noise_px=0.3)
+        res = solve_pnp_ransac_jax(
+            jnp.asarray(pts3d), jnp.asarray(pts2d), jnp.asarray(K),
+            key=jax.random.PRNGKey(0), num_hypotheses=64,
+        )
+        assert bool(res.ok)
+        assert rot_err_deg(np.asarray(res.rotation), R) < 2.0
+        assert np.linalg.norm(np.asarray(res.translation) - t) < 10.0
+
+    def test_planar_solver_not_worse_on_3d(self, rng):
+        """On genuinely 3D point sets the dual-path pick must still land on
+        the good (general DLT) solution."""
+        pts3d, pts2d, K, R, t = make_pnp_problem(rng, n_points=128,
+                                                 noise_px=0.5,
+                                                 outlier_frac=0.2)
+        res = solve_pnp_ransac_jax(
+            jnp.asarray(pts3d), jnp.asarray(pts2d), jnp.asarray(K),
+            key=jax.random.PRNGKey(0), num_hypotheses=64,
+        )
+        assert bool(res.ok)
+        assert rot_err_deg(np.asarray(res.rotation), R) < 2.0
+
+
 class TestRansac:
     def test_with_outliers(self, rng):
         pts3d, pts2d, K, R, t = make_pnp_problem(
@@ -160,9 +216,8 @@ class TestDeviceFlowPnP:
         ).as_matrix().astype(np.float32)
         gt_R = np.einsum("nij,njk->nik", dR, ref_R)
         gt_t = ref_t + rng.normal(size=(n, 3)).astype(np.float32) * [4, 4, 10]
-        # hemisphere depth bump: real renders have 3D relief, which the
-        # DLT-based device solver needs (near-planar point sets are DLT-
-        # degenerate — that case stays on the host cv2-EPnP default path)
+        # hemisphere depth bump: the 3D-relief case (the planar case has
+        # its own test below, via the dual-path solver's homography branch)
         yy, xx = np.mgrid[0:h, 0:w]
         r2 = ((xx - w / 2) / (w * 0.3)) ** 2 + ((yy - h / 2) / (h * 0.3)) ** 2
         bump = np.where(
@@ -189,6 +244,44 @@ class TestDeviceFlowPnP:
         R, t, ok = np.asarray(R), np.asarray(t), np.asarray(ok)
         assert ok.all()
         for i in range(len(R)):
+            assert rot_err_deg(R[i], gt_R[i]) < 0.5
+            assert np.linalg.norm(t[i] - gt_t[i]) < 2.0
+
+    def test_recovers_pose_on_near_planar_depth(self, rng):
+        """A flat plate with mild slope (DLT-degenerate) must still solve
+        via the planar-homography path of the dual-path RANSAC."""
+        import jax.numpy as jnp
+
+        from scflow_tpu.geometry.flow import flow_from_pose_and_depth
+        from scflow_tpu.refiners.flow_pose import solve_poses_from_flow_device
+        from scipy.spatial.transform import Rotation
+
+        n, h, w = 2, 96, 96
+        K = np.tile(np.array([[[120.0, 0, 48], [0, 120.0, 48], [0, 0, 1]]],
+                             np.float32), (n, 1, 1))
+        ref_R = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+        ref_t = np.tile(np.array([[0, 0, 600.0]], np.float32), (n, 1))
+        dR = Rotation.from_euler(
+            "xyz", rng.normal(size=(n, 3)) * 5, degrees=True
+        ).as_matrix().astype(np.float32)
+        gt_R = np.einsum("nij,njk->nik", dR, ref_R)
+        gt_t = ref_t + rng.normal(size=(n, 3)).astype(np.float32) * [4, 4, 10]
+        yy, xx = np.mgrid[0:h, 0:w]
+        depth = np.zeros((n, h, w), np.float32)
+        plate = (slice(None), slice(h // 4, 3 * h // 4),
+                 slice(w // 4, 3 * w // 4))
+        depth[plate] = 600.0 + (xx + yy)[None][plate] * 0.3
+        flow = np.asarray(flow_from_pose_and_depth(
+            jnp.asarray(ref_R), jnp.asarray(ref_t), jnp.asarray(gt_R),
+            jnp.asarray(gt_t), jnp.asarray(depth), jnp.asarray(K),
+            invalid_num=0.0))
+        R, t, ok = solve_poses_from_flow_device(
+            jnp.asarray(flow), jnp.asarray(depth), jnp.asarray(ref_R),
+            jnp.asarray(ref_t), jnp.asarray(K), num_points=512,
+        )
+        R, t = np.asarray(R), np.asarray(t)
+        assert np.asarray(ok).all()
+        for i in range(n):
             assert rot_err_deg(R[i], gt_R[i]) < 0.5
             assert np.linalg.norm(t[i] - gt_t[i]) < 2.0
 
