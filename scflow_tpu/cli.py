@@ -26,9 +26,41 @@ def _setup_platform():
     enable_compilation_cache()
 
 
+def _resolve_config_arg(p, args):
+    """The reference passes the config as `--config PATH` (train.py:38,
+    test.py:24-25); we prefer it positional.  Accept both."""
+    cfg = args.config or args.config_opt
+    if not cfg:
+        p.error("a config file is required (positional or --config)")
+    args.config = cfg
+    return args
+
+
+def _map_legacy_launcher(args, logger=None):
+    """mmcv launcher names (pytorch/slurm/mpi) all mean 'a multi-process
+    job was launched around me'; jax.distributed.initialize() reads the
+    same env conventions, so map them to the 'jax' launcher."""
+    if args.launcher in ("pytorch", "slurm", "mpi"):
+        if logger:
+            logger.info(
+                f"launcher '{args.launcher}' mapped to 'jax' "
+                "(jax.distributed.initialize)")
+        args.launcher = "jax"
+    return args
+
+
+_LAUNCHERS = ["none", "jax", "pytorch", "slurm", "mpi"]
+
+
 def parse_train_args(argv=None):
     p = argparse.ArgumentParser(description="Train a pose refiner")
-    p.add_argument("config")
+    p.add_argument("config", nargs="?", default=None)
+    p.add_argument("--config", dest="config_opt", default=None,
+                   help="config path (reference-style alternative to the "
+                        "positional argument)")
+    p.add_argument("--local_rank", "--local-rank", type=int, default=0,
+                   help="accepted for reference-launcher compatibility "
+                        "(process identity comes from jax.distributed)")
     p.add_argument("--work-dir", default=None)
     p.add_argument("--resume-from", default=None, type=int,
                    help="checkpoint step to resume from (default: latest)")
@@ -38,15 +70,16 @@ def parse_train_args(argv=None):
     p.add_argument("--max-iters", default=None, type=int)
     p.add_argument("--num-workers", default=None, type=int)
     p.add_argument("--nan-check", action="store_true")
-    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+    p.add_argument("--launcher", default="none", choices=_LAUNCHERS,
                    help="'jax' (or env SCFLOW_DIST=1) initializes "
-                        "jax.distributed for multi-host runs")
+                        "jax.distributed for multi-host runs; the mmcv "
+                        "names (pytorch/slurm/mpi) map to 'jax'")
     p.add_argument("--profile-steps", default=0, type=int,
                    help="capture a jax.profiler trace of N steps "
                         "(starting at step 10) into WORK_DIR/profile")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="override config entries, key=value")
-    return p.parse_args(argv)
+    return _resolve_config_arg(p, p.parse_args(argv))
 
 
 def train_main(argv=None):
@@ -56,6 +89,7 @@ def train_main(argv=None):
 
     from scflow_tpu.parallel import maybe_initialize_distributed
 
+    _map_legacy_launcher(args)
     maybe_initialize_distributed(args.launcher)
     from scflow_tpu.apis import (
         build_eval_fn,
@@ -192,7 +226,10 @@ def train_main(argv=None):
 
 def parse_test_args(argv=None):
     p = argparse.ArgumentParser(description="Test a pose refiner")
-    p.add_argument("config")
+    p.add_argument("config", nargs="?", default=None)
+    p.add_argument("--config", dest="config_opt", default=None,
+                   help="config path (reference-style alternative to the "
+                        "positional argument)")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--format-only", action="store_true")
@@ -201,12 +238,18 @@ def parse_test_args(argv=None):
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--limit", default=None, type=int,
                    help="evaluate only the first N images (smoke runs)")
+    p.add_argument("--gpu-collect", action="store_true",
+                   help="accepted for reference compatibility; result "
+                        "gathering always uses process_allgather here")
+    p.add_argument("--local_rank", "--local-rank", type=int, default=0,
+                   help="accepted for reference-launcher compatibility")
     p.add_argument("--cfg-options", nargs="*", default=[])
     p.add_argument("--eval-options", nargs="*", default=[])
-    p.add_argument("--launcher", default="none", choices=["none", "jax"],
+    p.add_argument("--launcher", default="none", choices=_LAUNCHERS,
                    help="'jax' (or env SCFLOW_DIST=1) initializes "
-                        "jax.distributed for multi-host runs")
-    return p.parse_args(argv)
+                        "jax.distributed for multi-host runs; the mmcv "
+                        "names (pytorch/slurm/mpi) map to 'jax'")
+    return _resolve_config_arg(p, p.parse_args(argv))
 
 
 def test_main(argv=None):
@@ -216,6 +259,7 @@ def test_main(argv=None):
 
     from scflow_tpu.parallel import maybe_initialize_distributed
 
+    _map_legacy_launcher(args)
     maybe_initialize_distributed(args.launcher)
     from scflow_tpu.apis import (
         build_render_assets,

@@ -157,3 +157,47 @@ def test_mmflow_ckpt_converter_cli(workspace, tmp_path):
         params["params"]["render_encoder"]["stem_conv"]["kernel"])
     np.testing.assert_allclose(stem_f, stem_t.transpose(2, 3, 1, 0),
                                atol=0)
+
+
+class TestReferenceStyleInvocation:
+    """The reference CLIs pass --config as an option and mmcv launcher
+    names (train.py:35-45, test.py:20-49); both must parse here so
+    migrated launch scripts run unchanged."""
+
+    def test_train_args_reference_style(self):
+        from scflow_tpu.cli import parse_train_args
+
+        a = parse_train_args(["--config", "cfg.py", "--launcher", "pytorch",
+                              "--local_rank", "3"])
+        assert a.config == "cfg.py"
+        assert a.launcher == "pytorch"
+
+    def test_test_args_reference_style(self):
+        from scflow_tpu.cli import parse_test_args
+
+        a = parse_test_args(["--config", "cfg.py", "--checkpoint", "c",
+                             "--gpu-collect", "--launcher", "slurm"])
+        assert a.config == "cfg.py" and a.gpu_collect
+
+    def test_positional_config_still_works(self):
+        from scflow_tpu.cli import parse_train_args
+
+        assert parse_train_args(["cfg.py"]).config == "cfg.py"
+
+    def test_missing_config_errors(self):
+        import pytest as _pytest
+
+        from scflow_tpu.cli import parse_train_args
+
+        with _pytest.raises(SystemExit):
+            parse_train_args(["--work-dir", "/tmp/x"])
+
+    def test_legacy_launcher_maps_to_jax(self):
+        from types import SimpleNamespace
+
+        from scflow_tpu.cli import _map_legacy_launcher
+
+        a = _map_legacy_launcher(SimpleNamespace(launcher="pytorch"))
+        assert a.launcher == "jax"
+        a = _map_legacy_launcher(SimpleNamespace(launcher="none"))
+        assert a.launcher == "none"
