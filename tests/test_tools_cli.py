@@ -201,3 +201,30 @@ class TestReferenceStyleInvocation:
         assert a.launcher == "jax"
         a = _map_legacy_launcher(SimpleNamespace(launcher="none"))
         assert a.launcher == "none"
+
+
+def test_bench_pipeline_smoke(workspace):
+    root, _ = workspace
+    r = run([sys.executable, "tools/bench_pipeline.py", str(root / "cfg.py"),
+             "--samples", "8", "--batches", "2", "--batch-size", "2",
+             "--workers", "2", "--profile"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["single_thread_samples_per_s"] > 0
+    assert stats["loader_samples_per_s"] > 0
+    assert "LoadImages" in r.stdout  # per-transform profile table printed
+
+
+def test_warmup_cache_smoke(workspace):
+    """The cache warmer must compile the infer buckets + serving fn + train
+    step for a config without touching real data."""
+    root, _ = workspace
+    r = run([sys.executable, "tools/warmup_cache.py", str(root / "cfg.py"),
+             "--frame-hw", "96", "128", "--max-objects", "4"],
+            # tiny eval buckets: the e2e config's test_cfg has none, so
+            # restrict via cfg-options to keep the smoke fast
+            )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "cache warm" in r.stdout
+    assert "train step" in r.stdout and "serving fn" in r.stdout
