@@ -319,3 +319,100 @@ class TestFlowFilters:
         np.testing.assert_allclose(
             np.asarray(out["3px"]), (err < 3).mean(axis=(1, 2)), rtol=1e-4
         )
+
+
+class TestPoseRemap:
+    """Host remap of patch-frame poses to the original image
+    (geometry/host.py::remap_pose_to_origin_resolution; reference
+    models/utils/pose.py:264-309)."""
+
+    def _pose_and_kp(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.random(
+            random_state=int(rng.integers(1 << 30))).as_matrix().astype(np.float32)
+        t = np.array([15.0, -8.0, 550.0], np.float32)
+        kp3d = rng.uniform(-40, 40, size=(8, 3)).astype(np.float32)
+        return R, t, kp3d
+
+    def test_adapt_intrinsic_is_identity(self, rng):
+        from scflow_tpu.geometry.host import remap_pose_to_origin_resolution
+
+        R, t, kp3d = self._pose_and_kp(rng)
+        K = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]], np.float32)
+        outR, outT = remap_pose_to_origin_resolution(
+            R[None], t[None], K[None],
+            {"geometry_transform_mode": "adapt_intrinsic"})
+        np.testing.assert_array_equal(outR[0], R)
+        np.testing.assert_array_equal(outT[0], t)
+
+    def test_keep_intrinsic_identity_transform_preserves_pose(self, rng):
+        """With T=I and dstK=srcK the exact solution is the input pose."""
+        from scflow_tpu.geometry.host import remap_pose_to_origin_resolution
+
+        R, t, kp3d = self._pose_and_kp(rng)
+        srcK = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]],
+                        np.float32)
+        meta = {
+            "geometry_transform_mode": "keep_intrinsic",
+            "transform_matrix": np.eye(3, dtype=np.float32)[None],
+            "keypoints_3d": kp3d[None],
+        }
+        outR, outT = remap_pose_to_origin_resolution(
+            R[None], t[None], srcK[None], meta)
+        np.testing.assert_allclose(outR[0], R, atol=1e-4)
+        np.testing.assert_allclose(outT[0], t, rtol=1e-4, atol=0.05)
+
+    def test_target_intrinsic_pure_k_change_preserves_pose(self, rng):
+        """When the patch transform is exactly the intrinsic change
+        (T = srcK @ inv(oriK)) the same pose under oriK is the exact
+        solution — the remap must recover it."""
+        from scflow_tpu.geometry.host import remap_pose_to_origin_resolution
+
+        R, t, kp3d = self._pose_and_kp(rng)
+        srcK = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]],
+                        np.float32)
+        oriK = np.array([[280.0, 0, 320], [0, 280.0, 240], [0, 0, 1]],
+                        np.float32)
+        T = srcK @ np.linalg.inv(oriK)
+        meta = {
+            "geometry_transform_mode": "target_intrinsic",
+            "transform_matrix": T[None].astype(np.float32),
+            "keypoints_3d": kp3d[None],
+            "ori_k": oriK,
+        }
+        outR, outT = remap_pose_to_origin_resolution(
+            R[None], t[None], srcK[None], meta)
+        np.testing.assert_allclose(outR[0], R, atol=1e-3)
+        np.testing.assert_allclose(outT[0], t, rtol=1e-3, atol=0.5)
+
+    @pytest.mark.parametrize("mode", ["keep_intrinsic", "target_intrinsic"])
+    def test_generic_crop_reprojects_approximately(self, rng, mode):
+        """For a generic crop transform no exact SE(3) solution exists (the
+        reference tracks the residual as diff_pixel); the EPnP best fit
+        must still reproject the keypoints within a few pixels."""
+        from scflow_tpu.geometry.host import (
+            project_3d_point,
+            remap_pose_to_origin_resolution,
+        )
+
+        R, t, kp3d = self._pose_and_kp(rng)
+        srcK = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]],
+                        np.float32)
+        oriK = np.array([[280.0, 0, 320], [0, 280.0, 240], [0, 0, 1]],
+                        np.float32)
+        T = np.array([[2.0, 0, -100.0], [0, 2.0, -60.0], [0, 0, 1.0]],
+                     np.float32)
+        meta = {
+            "geometry_transform_mode": mode,
+            "transform_matrix": T[None],
+            "keypoints_3d": kp3d[None],
+            "ori_k": oriK,
+        }
+        outR, outT = remap_pose_to_origin_resolution(
+            R[None], t[None], srcK[None], meta)
+        dstK = srcK if mode == "keep_intrinsic" else oriK
+        want = project_3d_point(kp3d, srcK, R, t,
+                                transform_matrix=np.linalg.inv(T))
+        got = project_3d_point(kp3d, dstK, outR[0], outT[0])
+        assert np.linalg.norm(got - want, axis=1).mean() < 3.0
