@@ -478,3 +478,62 @@ class TestEvaluation:
         assert out["0"][0]["obj_id"] == 1
         assert out["0"][0]["time"] == 0.05
         assert len(out["0"][0]["cam_R_m2c"]) == 9
+
+
+class TestBitmapMasks:
+    """Direct value tests for the mask container ops (datasets/mask.py;
+    reference datasets/mask.py + mmcv roi_align replacement)."""
+
+    def _masks(self):
+        m = np.zeros((2, 10, 12), np.uint8)
+        m[0, 2:5, 3:7] = 1   # 3x4 block
+        m[1, 6:9, 8:11] = 1  # 3x3 block
+        return BitmapMasks(m, 10, 12)
+
+    def test_crop_in_bounds_and_out_of_bounds(self):
+        bm = self._masks()
+        c = bm.crop([3, 2, 7, 5])
+        assert (c.height, c.width) == (3, 4)
+        assert c.masks[0].sum() == 12 and c.masks[1].sum() == 0
+        # crop extending past the image zero-pads (clip_border=False crops)
+        c2 = bm.crop([8, 6, 14, 12])
+        assert (c2.height, c2.width) == (6, 6)
+        assert c2.masks[1].sum() == 9
+        assert c2.masks[1][:3, :3].sum() == 9  # block lands top-left
+
+    def test_pad_and_negative_pad(self):
+        bm = self._masks()
+        p = bm.pad((2, 1, 0, 0))
+        assert (p.height, p.width) == (11, 14)
+        assert p.masks[0][3:6, 5:9].sum() == 12
+        # negative padding crops
+        n = bm.pad((-3, -2, 0, 0))
+        assert (n.height, n.width) == (8, 9)
+        assert n.masks[0][0:3, 0:4].sum() == 12
+
+    def test_rescale_keep_ratio(self):
+        bm = self._masks()
+        r = bm.rescale(24)  # long side 12 -> 24 => factor 2
+        assert (r.height, r.width) == (20, 24)
+        assert r.masks[0].sum() == 12 * 4  # nearest keeps area x4
+
+    def test_get_bboxes_and_areas(self):
+        bm = self._masks()
+        np.testing.assert_array_equal(bm.get_bboxes(),
+                                      [[3, 2, 7, 5], [8, 6, 11, 9]])
+        np.testing.assert_array_equal(bm.areas, [12, 9])
+
+    def test_background_and_occluder_merge(self):
+        bm = self._masks()
+        bg = bm.get_background_mask()
+        assert bg.sum() == 10 * 12 - 12 - 9
+        occ = np.zeros((10, 12), np.uint8)
+        occ[2:5, 3:5] = 1  # covers half of instance 0
+        merged = bm.merge_background_mask(occ)
+        assert merged.masks[0].sum() == 6 and merged.masks[1].sum() == 9
+
+    def test_warpaffine_translation(self):
+        bm = self._masks()
+        M = np.array([[1, 0, 2], [0, 1, 1]], np.float32)
+        w = bm.warpaffine(M, 12, 10)
+        assert w.masks[0][3:6, 5:9].sum() == 12
