@@ -537,3 +537,79 @@ class TestBitmapMasks:
         M = np.array([[1, 0, 2], [0, 1, 1]], np.float32)
         w = bm.warpaffine(M, 12, 10)
         assert w.masks[0][3:6, 5:9].sum() == 12
+
+
+class TestRefineTestDataset:
+    """No-GT submission-run variant (reference refine.py:221-366): initial
+    poses in, BOP export out — previously untested."""
+
+    @pytest.fixture(scope="class")
+    def test_dataset(self, tmp_path_factory):
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from synthetic_bop import build_synthetic_bop
+
+        from scflow_tpu.datasets import RefineTestDataset
+
+        root = tmp_path_factory.mktemp("reftest")
+        build_synthetic_bop(root, num_images=2, render_images=True)
+        pipeline = [
+            dict(type="LoadImages", color_type="unchanged"),
+            dict(type="ComputeBbox", mesh_dir=str(root / "models_eval"),
+                 clip_border=False, filter_invalid=False),
+            dict(type="Crop", size_range=(1.1, 1.1),
+                 crop_bbox_field="ref_bboxes", clip_border=False, pad_val=128),
+            dict(type="Resize", img_scale=64, keep_ratio=True),
+            dict(type="Pad", size=(64, 64), center=True,
+                 pad_val=dict(img=(128, 128, 128), mask=0)),
+            dict(type="RemapPose", keep_intrinsic=False),
+            dict(type="Normalize", mean=[0.0] * 3, std=[255.0] * 3,
+                 to_rgb=True),
+            dict(type="ToTensor", stack_keys=[]),
+            dict(type="Collect",
+                 annot_keys=["ref_rotations", "ref_translations", "labels",
+                             "k", "ori_k", "transform_matrix"],
+                 meta_keys=("img_path", "ori_shape", "img_shape",
+                            "img_norm_cfg", "scale_factor", "keypoints_3d",
+                            "geometry_transform_mode", "transform_matrix",
+                            "ori_k")),
+        ]
+        return RefineTestDataset(
+            data_root=str(root / "train_real"),
+            ref_annots_root=str(root / "initial_poses"),
+            image_list=str(root / "image_lists" / "train.txt"),
+            keypoints_json=str(root / "keypoints.json"),
+            pipeline=pipeline, class_names=("obj_a", "obj_b"),
+            keypoints_num=8, meshes_eval=str(root / "models_eval"),
+            mesh_symmetry={"cls_2": {}}, mesh_diameter=[110.0, 140.0],
+        )
+
+    def test_getitem_yields_ref_poses_without_gt(self, test_dataset):
+        s = test_dataset[0]
+        assert s is not None
+        a = s["annots"]
+        assert a["ref_rotations"].shape[1:] == (3, 3)
+        assert "gt_rotations" not in a
+        assert s["img"].shape[1:] == (64, 64, 3)
+
+    def test_format_results_exports_bop(self, test_dataset, tmp_path):
+        results = []
+        for i in range(len(test_dataset)):
+            s = test_dataset[i]
+            a = s["annots"]
+            n = len(a["labels"])
+            results.append(dict(
+                pred=dict(
+                    labels=np.asarray(a["labels"]),
+                    rotations=np.asarray(a["ref_rotations"]),
+                    translations=np.asarray(a["ref_translations"]),
+                    scores=np.ones(n, np.float32),
+                ),
+                img_metas=dict(img_path=s["img_metas"]["img_path"]),
+            ))
+        test_dataset.format_results(results, str(tmp_path), time=0.05)
+        out = json.loads((tmp_path / "000001" / "scene_gt.json").read_text())
+        assert len(out) == 2  # both images exported
+        first = out[sorted(out)[0]]
+        assert {"cam_R_m2c", "cam_t_m2c", "obj_id"} <= set(first[0])
