@@ -107,6 +107,15 @@ def make_serving_from_cfg(cfg, model, render_assets):
         sp = test_cfg.get("sample_points")
         if sp and "num" in sp:
             pnp_cfg["num_points"] = sp["num"]
+        if sp and sp.get("mode", "random") == "random":
+            import warnings
+
+            warnings.warn(
+                "pnp_backend='device' always selects points by confidence "
+                "top-k (occlusion when predicted, else a fixed "
+                "pseudo-random score); sample_points mode='random' is not "
+                "honored — use the host backend for reference-exact "
+                "sampling semantics")
         serve_fn = make_raft_serving_fn(
             model, render_assets, *banks, pnp_backend="device",
             pnp_cfg=pnp_cfg, **common)
@@ -263,6 +272,15 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
         sp = test_cfg.get("sample_points")
         if sp and "num" in sp:
             pnp_cfg["num_points"] = sp["num"]
+        if sp and sp.get("mode", "random") == "random":
+            import warnings
+
+            warnings.warn(
+                "pnp_backend='device' always selects points by confidence "
+                "top-k (occlusion when predicted, else a fixed "
+                "pseudo-random score); sample_points mode='random' is not "
+                "honored — use the host backend for reference-exact "
+                "sampling semantics")
         return (
             make_raft_infer_fn(model, render_assets, image_size=image_size,
                                iters=iters, pnp_backend="device",

@@ -36,15 +36,16 @@ def _resolve_config_arg(p, args):
     return args
 
 
-def _map_legacy_launcher(args, logger=None):
+def _map_legacy_launcher(args):
     """mmcv launcher names (pytorch/slurm/mpi) all mean 'a multi-process
     job was launched around me'; jax.distributed.initialize() reads the
     same env conventions, so map them to the 'jax' launcher."""
     if args.launcher in ("pytorch", "slurm", "mpi"):
-        if logger:
-            logger.info(
-                f"launcher '{args.launcher}' mapped to 'jax' "
-                "(jax.distributed.initialize)")
+        from scflow_tpu.utils.logging import get_logger
+
+        get_logger("scflow_tpu").info(
+            f"launcher '{args.launcher}' mapped to 'jax' "
+            "(jax.distributed.initialize)")
         args.launcher = "jax"
     return args
 

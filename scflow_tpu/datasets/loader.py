@@ -41,22 +41,27 @@ def _process_worker(dataset, idx_q, res_q, seed=None):
     torch DataLoader's num_workers processes (reference train.py:48-84).
     `seed` reproduces mmcv's worker_init_fn semantics (seed + worker_id +
     rank * num_workers) for the pipeline's global-np.random augmentations
-    (PoseJitter, color transforms); without it each spawned process seeds
-    from OS entropy — diverse but not reproducible.
+    (PoseJitter, color transforms).  Determinism holds because idx_q is
+    this worker's PRIVATE round-robin queue: the worker consumes its RNG
+    stream in a fixed sample order regardless of scheduling.
     """
     if seed is not None:
+        import random
+
         np.random.seed(seed % (2**32))
+        random.seed(seed)  # Crop's size_ratio uses the python random module
     while True:
-        idx = idx_q.get()
-        if idx is None:
-            res_q.put(("done", None))
+        task = idx_q.get()
+        if task is None:
+            res_q.put(("done",))
             return
+        seq, idx = task
         try:
             item = dataset[idx]
         except Exception as exc:  # propagate a summary; tracebacks don't pickle
             res_q.put(("err", f"{type(exc).__name__}: {exc}"))
             return
-        res_q.put(("ok", item))
+        res_q.put(("ok", seq, item))
 
 
 def collate_batch(samples: List[Dict], train: bool = True) -> Dict[str, np.ndarray]:
@@ -156,12 +161,19 @@ class DataLoader:
         overhead still serializes a thread pool).  spawn, not fork — the
         parent may hold an initialized (remote-)TPU backend whose state
         must not be duplicated.  Samples come back pickled over an mp.Queue;
-        collation stays in-process."""
+        collation stays in-process.
+
+        Reproducibility matches torch/mmcv's worker protocol: sample i goes
+        to worker i % num_workers over a PRIVATE per-worker queue (so each
+        worker's RNG stream consumes its samples in a deterministic order)
+        and results reassemble in sequence order before batching — batch
+        contents are a pure function of (seed, num_workers), not of OS
+        scheduling."""
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
         idx_stream = self._index_stream()
-        idx_q = ctx.Queue(maxsize=self.num_workers * 4)
+        idx_qs = [ctx.Queue(maxsize=4) for _ in range(self.num_workers)]
         res_q = ctx.Queue(
             maxsize=max(self.samples_per_step * (self.prefetch + 1),
                         self.num_workers * 2)
@@ -175,7 +187,7 @@ class DataLoader:
         procs = [
             ctx.Process(
                 target=_process_worker,
-                args=(self.dataset, idx_q, res_q,
+                args=(self.dataset, idx_qs[wid], res_q,
                       self.seed + wid + self.process_index * self.num_workers),
                 daemon=True)
             for wid in range(self.num_workers)
@@ -184,16 +196,19 @@ class DataLoader:
             p.start()
 
         def producer():
-            for idx in idx_stream:
-                if not _put(idx_q, idx):
+            seq = -1
+            for seq, idx in enumerate(idx_stream):
+                if not _put(idx_qs[seq % self.num_workers], (seq, idx)):
                     return
-            for _ in range(self.num_workers):
-                if not _put(idx_q, None):
+            for wid in range(self.num_workers):
+                if not _put(idx_qs[wid], None):
                     return
 
         def batcher():
             done_workers = 0
             buf = []
+            expected = 0
+            reorder = {}
             while done_workers < self.num_workers and not stop.is_set():
                 try:
                     msg = res_q.get(timeout=0.1)
@@ -210,20 +225,22 @@ class DataLoader:
                             f"{dead[0].exitcode}")))
                         return
                     continue
-                tag, item = msg
+                tag = msg[0]
                 if tag == "err":
-                    _put(out_q, _WorkerError(RuntimeError(item)))
+                    _put(out_q, _WorkerError(RuntimeError(msg[1])))
                     return
                 if tag == "done":
                     done_workers += 1
                     continue
-                if item is None:  # pipeline abandoned the sample; see note
-                    continue      # in _iter_thread's worker retry semantics
-                buf.append(item)
-                if len(buf) == self.samples_per_step:
-                    if not _put(out_q, self.collate_fn(buf)):
-                        return
-                    buf = []
+                _, seq, item = msg
+                reorder[seq] = item
+                while expected in reorder:  # emit strictly in sequence order
+                    buf.append(reorder.pop(expected))
+                    expected += 1
+                    if len(buf) == self.samples_per_step:
+                        if not _put(out_q, self.collate_fn(buf)):
+                            return
+                        buf = []
             if buf and not self.drop_last and not stop.is_set():
                 _put(out_q, self.collate_fn(buf))
             _put(out_q, None)
@@ -248,7 +265,7 @@ class DataLoader:
             for p in procs:
                 if p.is_alive():
                     p.terminate()
-            for q_ in (idx_q, res_q):
+            for q_ in idx_qs + [res_q]:
                 q_.cancel_join_thread()
 
     def _iter_thread(self):

@@ -223,9 +223,17 @@ def solve_pnp_ransac_jax(
     def best_of_both(p3, p2, weights):
         """General DLT and planar-homography solves side by side; keep the
         one that reprojects better (DLT is degenerate for coplanar points,
-        the planar path is weak for 3D relief — together they cover both)."""
+        the planar path is weak for 3D relief — together they cover both).
+
+        The pick metric is the median error over the points the solve was
+        FITTED on (the weights' support during refit; all valid points for
+        minimal-sample hypotheses, where the full set is the consensus
+        measure) — scoring a refit on outliers could out-vote the correct
+        planar solution.
+        """
         R_g, t_g = pnp_dlt(p3, p2, K, weights=weights)
         R_p, t_p = pnp_planar(p3, p2, K, weights=weights)
+        score_on = valid if weights is None else (weights > 0) & valid
 
         def med_err(R, t):
             cam = points_3d @ R.T + t
@@ -233,9 +241,9 @@ def solve_pnp_ransac_jax(
             proj = (cam @ K.T)[:, :2] / z[:, None]
             err = jnp.linalg.norm(proj - points_2d, axis=-1)
             big = jnp.float32(1e9)
-            err = jnp.where(valid, jnp.nan_to_num(err, nan=big), big)
-            # median of the VALID errors: invalid/padded entries sort last
-            return jnp.sort(err)[valid.sum() // 2]
+            err = jnp.where(score_on, jnp.nan_to_num(err, nan=big), big)
+            # median of the scored errors: excluded entries sort last
+            return jnp.sort(err)[score_on.sum() // 2]
 
         pick_g = med_err(R_g, t_g) <= med_err(R_p, t_p)
         R = jnp.where(pick_g, R_g, R_p)

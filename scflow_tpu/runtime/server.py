@@ -71,11 +71,17 @@ def validate_request(req: RefineRequest, frame_hw, num_class: int,
             f"frame must be {h}x{w} (server frame_hw), got "
             f"{req.frame.shape[0]}x{req.frame.shape[1]}"
         )
-    if req.frame.dtype != np.uint8 and req.frame.size and \
-            float(req.frame.max()) > 1.5:
-        raise ValueError(
-            "float frames must be in [0, 1] (got max "
-            f"{float(req.frame.max()):.1f}); send uint8 for 0-255 data")
+    if req.frame.dtype != np.uint8 and req.frame.size:
+        m = float(req.frame.max())
+        if not np.isfinite(m):
+            raise ValueError("frame contains non-finite values")
+        if m > 1.5:
+            raise ValueError(
+                f"float frames must be in [0, 1] (got max {m:.1f}); "
+                "send uint8 for 0-255 data")
+    for name in ("rotations", "translations", "k"):
+        if not np.isfinite(getattr(req, name)).all():
+            raise ValueError(f"{name} contain non-finite values")
     p = req.num_objects
     if p == 0:
         raise ValueError("request has no objects")
@@ -99,6 +105,15 @@ def validate_request(req: RefineRequest, frame_hw, num_class: int,
 
 
 # ------------------------------------------------------------------- stats
+
+
+def nearest_rank(sorted_vals, p: float):
+    """Nearest-rank percentile over an ascending sequence (None if empty).
+    Shared by the server stats and the load-test client so both sides of a
+    report use the same convention."""
+    if not sorted_vals:
+        return None
+    return sorted_vals[min(len(sorted_vals) - 1, int(p * len(sorted_vals)))]
 
 
 class ServingStats:
@@ -135,9 +150,8 @@ class ServingStats:
             uptime = time.time() - self.started
 
         def q(p):
-            if not lat:
-                return None
-            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
+            v = nearest_rank(lat, p)
+            return None if v is None else round(v * 1e3, 3)
 
         return {
             "uptime_s": round(uptime, 1),
@@ -268,13 +282,15 @@ class PoseService:
 
     def fetch(self, handle) -> List[Dict[str, np.ndarray]]:
         """Block on the device result of a `dispatch` handle and slice it
-        back per request.  Only the keys the response carries are pulled:
-        the serving fn also returns per-object masks, and transferring the
-        (B, S, S) tensor would add ~17 MB device->host per batch-64."""
+        back per request.  Only the keys the response carries are pulled,
+        and only the REAL object rows: padding (up to max_objects per
+        batch) would otherwise inflate the device->host transfer and run
+        post_fn's host PnP on dozens of phantom objects."""
         import jax
 
         out, counts = handle
-        out = {k: np.asarray(jax.device_get(out[k]))
+        n = int(sum(counts))
+        out = {k: np.asarray(jax.device_get(out[k][:n]))
                for k in self.fetch_keys if k in out}
         if self.post_fn is not None:
             out = self.post_fn(out)

@@ -271,6 +271,26 @@ class TestTrainDataset:
             assert got.shape == want.shape
         assert b_proc["real_images"].shape == b_thread["real_images"].shape
 
+    def test_process_workers_reproducible_across_runs(self, train_dataset):
+        """Round-robin dispatch over private worker queues + in-order
+        reassembly: identical (seed, num_workers) must give byte-identical
+        batches run to run, PoseJitter randomness included (torch/mmcv
+        worker determinism semantics)."""
+
+        def first_batch():
+            loader = DataLoader(train_dataset, samples_per_step=2,
+                                num_workers=2, shuffle=False, infinite=False,
+                                seed=7, worker_mode="process")
+            it = iter(loader)
+            batch = next(it)
+            it.close()
+            return batch
+
+        b1, b2 = first_batch(), first_batch()
+        np.testing.assert_array_equal(b1["real_images"], b2["real_images"])
+        np.testing.assert_array_equal(b1["ref_rotations"], b2["ref_rotations"])
+        np.testing.assert_array_equal(b1["labels"], b2["labels"])
+
     def test_process_worker_error_propagates(self, bop_root):
         loader = DataLoader(BrokenPicklable(), samples_per_step=2,
                             num_workers=2, infinite=False, shuffle=False,

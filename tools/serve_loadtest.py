@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scflow_tpu.runtime.server import refine_remote
+from scflow_tpu.runtime.server import nearest_rank, refine_remote
 
 
 def main():
@@ -77,7 +77,8 @@ def main():
     lat.sort()
 
     def q(p):
-        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3 if lat else None
+        v = nearest_rank(lat, p)
+        return None if v is None else v * 1e3
 
     n_ok = len(lat)
     print(json.dumps({
