@@ -203,6 +203,25 @@ class TestCLI:
         assert "average/add_10" in metrics
 
 
+    def test_resume_continues_from_checkpoint(self, workspace):
+        """--resume restores step + optimizer state from the latest
+        checkpoint and continues the schedule (SURVEY §5 checkpoint/resume;
+        reference runner.resume, train.py:170-175).  Depends on the scflow
+        train test having produced checkpoints/4."""
+        root, info = workspace
+        work_dir = root / "work"
+        cfg_path = root / "scflow_tiny.py"
+        assert (work_dir / "checkpoints" / "4").exists(), \
+            "run after test_train_and_test_scflow"
+        r = run([sys.executable, "tools/train.py", str(cfg_path),
+                 "--resume", "--max-iters", "8",
+                 "--work-dir", str(work_dir)])
+        assert r.returncode == 0, r.stderr[-4000:]
+        log = r.stderr + r.stdout
+        assert "Resumed from iter 4" in log
+        assert "Start training: iter 4 -> 8" in log
+        assert (work_dir / "checkpoints" / "8").exists()  # ckpt interval 4
+
     def test_train_and_test_raft(self, workspace):
         """RAFT flow+occlusion refiner through the CLI, exercising the
         PnP-from-flow eval path."""
