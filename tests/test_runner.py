@@ -88,3 +88,24 @@ class TestIterRunner:
                             2, work_dir=str(tmp_path), nan_check=False)
         state = runner.run()  # reference behavior: no guard unless asked
         assert int(jax.device_get(state.step)) == 2
+
+
+class TestFrozenPrefixes:
+    def test_frozen_params_do_not_update(self, tmp_path):
+        """optimizer_config.frozen_prefixes (the freeze_encoder/freeze_bn
+        analog, optim.py) must zero updates under the prefix while the rest
+        trains."""
+        from scflow_tpu.runtime import build_optimizer
+
+        tx, _ = build_optimizer(
+            dict(type="SGD", lr=0.1, momentum=0.0), None, None,
+            frozen_prefixes=["encoder"])
+        params = {"encoder": {"w": jnp.ones((2,))}, "head": {"w": jnp.ones((2,))}}
+        state = TrainState.create(params, tx)
+        grads = {"encoder": {"w": jnp.ones((2,))}, "head": {"w": jnp.ones((2,))}}
+        state = state.apply_gradients(grads=grads)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(state.params["encoder"]["w"])), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(state.params["head"]["w"])), 0.9,
+            rtol=1e-6)
