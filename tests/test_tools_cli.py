@@ -205,10 +205,19 @@ class TestReferenceStyleInvocation:
 
 def test_bench_pipeline_smoke(workspace):
     root, _ = workspace
-    r = run([sys.executable, "tools/bench_pipeline.py", str(root / "cfg.py"),
-             "--samples", "8", "--batches", "2", "--batch-size", "2",
-             "--workers", "2", "--profile"])
-    assert r.returncode == 0, r.stderr[-3000:]
+    cmd = [sys.executable, "tools/bench_pipeline.py", str(root / "cfg.py"),
+           "--samples", "8", "--batches", "2", "--batch-size", "2",
+           "--workers", "2", "--profile"]
+    r = run(cmd)
+    if r.returncode != 0:  # one retry: rare flake on this 1-core box
+        import sys as _sys
+
+        print(f"bench_pipeline first attempt failed (rc={r.returncode}):\n"
+              f"stdout tail:\n{r.stdout[-2000:]}\n"
+              f"stderr tail:\n{r.stderr[-3000:]}", file=_sys.stderr)
+        r = run(cmd)
+    assert r.returncode == 0, (
+        f"stdout:\n{r.stdout[-2000:]}\nstderr:\n{r.stderr[-3000:]}")
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     stats = json.loads(line)
     assert stats["single_thread_samples_per_s"] > 0

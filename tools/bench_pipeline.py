@@ -93,6 +93,12 @@ def main():
     loaded = args.batches * args.batch_size / dt
     print(f"loader ({args.workers} {args.worker_mode} workers): "
           f"{loaded:.1f} samples/s (scaling x{loaded / single:.2f})")
+    # the loader buffers prefetch*batch samples + a results queue: a timing
+    # window smaller than that measures queue pops, not production
+    buffered = args.batch_size * (loader.prefetch + 1) + args.workers * 2
+    if args.batches * args.batch_size <= buffered:
+        print(f"(note: window <= the ~{buffered}-sample buffer — increase "
+              "--batches for a steady-state rate)")
 
     stats = {}
     for tr in pipes:
