@@ -437,3 +437,81 @@ def serve_main(argv=None):
     finally:
         httpd.shutdown()
         batcher.stop()
+
+
+def parse_export_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Export the jitted inference graph (weights baked in) "
+                    "as a portable StableHLO artifact (jax.export)")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint to bake in (omit = init weights, "
+                        "useful only for plumbing tests)")
+    p.add_argument("--out", required=True, help="artifact path (.scflowx)")
+    p.add_argument("--batch-size", default=16, type=int,
+                   help="static object-batch size baked into the graph")
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="lowering platforms (default: current backend), "
+                        "e.g. --platforms tpu cpu")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def export_main(argv=None):
+    args = parse_export_args(argv)
+    _setup_platform()
+
+    from scflow_tpu.apis import (
+        build_render_assets,
+        init_model_variables,
+        load_eval_checkpoint,
+        make_infer_from_cfg,
+    )
+    from scflow_tpu.config import Config
+    from scflow_tpu.refiners import build_refiner_from_config
+    from scflow_tpu.runtime.export import batch_spec, export_infer
+    from scflow_tpu.utils.logging import get_logger
+
+    logger = get_logger("scflow_tpu")
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(Config.parse_options(args.cfg_options))
+
+    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    model = build_refiner_from_config(cfg.model)
+    render_assets, bank = build_render_assets(cfg.model)
+    variables = init_model_variables(cfg.model, model, image_size,
+                                     num_class=bank.num_class)
+    if args.checkpoint:
+        variables = load_eval_checkpoint(args.checkpoint, variables,
+                                         cfg.model, logger)
+    else:
+        logger.warning("no --checkpoint: exporting INIT weights")
+
+    infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
+                                                  image_size)
+    if pose_from_output is not None:
+        logger.warning(
+            "this config solves poses with host-side PnP; the artifact "
+            "outputs flow/occlusion — run PnP outside, or set "
+            "test_cfg.pnp_backend=device for a pose-emitting artifact")
+
+    spec = batch_spec(args.batch_size, image_size)
+    data = export_infer(
+        infer, variables, spec, platforms=args.platforms,
+        meta={
+            "config": os.path.basename(args.config),
+            "checkpoint": args.checkpoint or "",
+            "model_type": cfg.model["type"],
+            "image_size": list(image_size),
+            "batch_size": args.batch_size,
+        },
+    )
+    with open(args.out, "wb") as f:
+        f.write(data)
+    from scflow_tpu.runtime.export import read_meta
+
+    meta = read_meta(data)
+    logger.info(
+        f"wrote {args.out} ({len(data) / 1e6:.1f} MB, "
+        f"platforms={meta['platforms']}, outputs={meta['outputs']})")
