@@ -450,7 +450,7 @@ def parse_export_args(argv=None):
     p.add_argument("--out", required=True, help="artifact path (.scflowx)")
     p.add_argument("--batch-size", default=16, type=int,
                    help="static object-batch size baked into the graph")
-    p.add_argument("--platforms", nargs="*", default=None,
+    p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (default: current backend), "
                         "e.g. --platforms tpu cpu")
     p.add_argument("--cfg-options", nargs="*", default=[])

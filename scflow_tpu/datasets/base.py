@@ -150,8 +150,18 @@ class BaseDataset:
         return [load_ply(p) for p in paths]
 
     def _eval_vertices_list(self):
+        """Per-class eval-vertex subsets, SEEDED.
+
+        Deliberate determinism deviation: the reference draws these with the
+        global numpy RNG (base_dataset.py:216-217), so its ADD tables jitter
+        run-to-run and `save_best='average/add_10'` comparisons carry
+        sampling noise.  A fixed per-class seed makes evaluate() a pure
+        function of (predictions, annotations) while keeping the same
+        uniform-with-replacement sampling distribution.
+        """
+        rng = np.random.default_rng(20230613)  # fixed: determinism > faithfulness
         return [
-            m.vertices[np.random.choice(m.vertices.shape[0], self.eval_vertices)]
+            m.vertices[rng.choice(m.vertices.shape[0], self.eval_vertices)]
             for m in self.meshes
         ]
 

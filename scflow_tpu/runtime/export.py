@@ -64,7 +64,7 @@ def export_infer(
     from jax import export as jexport
 
     closed = jax.jit(lambda batch: infer_fn(variables, batch))
-    if platforms is None:
+    if not platforms:  # None or [] -> current backend
         platforms = (jax.default_backend(),)
     exported = jexport.export(closed, platforms=tuple(platforms))(spec)
     blob = bytes(exported.serialize())
@@ -72,13 +72,17 @@ def export_infer(
     def describe(s):
         return {"shape": list(s.shape), "dtype": np.dtype(s.dtype).name}
 
-    header = {
-        "format": 1,
-        "platforms": list(platforms),
-        "inputs": {k: describe(v) for k, v in spec.items()},
-        "outputs": sorted(jax.eval_shape(closed, spec).keys()),
-    }
-    header.update(meta or {})
+    # caller meta first so the reserved self-description keys always win —
+    # servers validate requests against these and must trust them
+    header = dict(meta or {})
+    header.update(
+        {
+            "format": 1,
+            "platforms": list(platforms),
+            "inputs": {k: describe(v) for k, v in spec.items()},
+            "outputs": sorted(jax.eval_shape(closed, spec).keys()),
+        }
+    )
     payload = json.dumps(header).encode()
     return _MAGIC + struct.pack("<Q", len(payload)) + payload + blob
 
@@ -87,9 +91,22 @@ def read_meta(data: bytes) -> Dict[str, Any]:
     """Parse just the json header (cheap; no graph deserialization)."""
     if data[: len(_MAGIC)] != _MAGIC:
         raise ValueError("not a scflow_tpu export artifact (bad magic)")
+    if len(data) < len(_MAGIC) + 8:
+        raise ValueError(
+            "truncated scflow_tpu export artifact: "
+            f"{len(data)} bytes, header needs {len(_MAGIC) + 8}"
+        )
     (n,) = struct.unpack_from("<Q", data, len(_MAGIC))
     off = len(_MAGIC) + 8
-    return json.loads(data[off : off + n].decode())
+    if off + n > len(data):
+        raise ValueError(
+            "truncated/corrupt scflow_tpu export artifact: meta length "
+            f"{n} exceeds file ({len(data)} bytes)"
+        )
+    try:
+        return json.loads(data[off : off + n].decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"corrupt scflow_tpu export artifact meta: {e}") from e
 
 
 def load_exported(path_or_bytes) -> Tuple[Callable, Dict[str, Any]]:
@@ -105,6 +122,13 @@ def load_exported(path_or_bytes) -> Tuple[Callable, Dict[str, Any]]:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
     meta = read_meta(data)
+    backend = jax.default_backend()
+    platforms = meta.get("platforms") or []
+    if platforms and backend not in platforms:
+        raise ValueError(
+            f"artifact was exported for platforms {platforms}; current "
+            f"backend is '{backend}' — re-export with --platforms {backend}"
+        )
     (n,) = struct.unpack_from("<Q", data, len(_MAGIC))
     blob = data[len(_MAGIC) + 8 + n :]
     exported = jexport.deserialize(bytearray(blob))

@@ -371,6 +371,42 @@ class TestEvaluation:
         assert out["average/rep_05"] == 1.0
         assert out["average/auc"] > 0.99
 
+    def test_evaluate_is_deterministic_across_instances(self, bop_root):
+        """Eval vertex sampling is seeded (deliberate deviation from the
+        reference's global-RNG draw, base_dataset.py:216-217): two
+        independently constructed datasets must produce bit-identical
+        ADD/AUC tables for the same predictions."""
+        kwargs = dict(
+            data_root=str(bop_root / "train_real"),
+            gt_annots_root=str(bop_root / "train_real"),
+            image_list=str(bop_root / "image_lists" / "train.txt"),
+            keypoints_json=str(bop_root / "keypoints.json"),
+            pipeline=make_train_pipeline(bop_root),
+            class_names=("obj_a", "obj_b"),
+            keypoints_num=8,
+            sample_num=1,
+            mesh_symmetry={"cls_2": {}},
+            meshes_eval=str(bop_root / "models_eval"),
+            mesh_diameter=[110.0, 140.0],
+        )
+        np.random.seed(123)
+        ds1 = SuperviseTrainDataset(**kwargs)
+        np.random.seed(456)  # global RNG state must not matter
+        ds2 = SuperviseTrainDataset(**kwargs)
+        # mid-range noise: errors land near thresholds where sampling
+        # noise would actually flip table entries
+        res = self._results(ds1, noise=8.0)
+        metric = {"auc": [], "add": [0.05, 0.1, 0.2, 0.5], "rep": [2, 5]}
+        out1 = ds1.evaluate(res, metric=metric)
+        out2 = ds2.evaluate(res, metric=metric)
+        assert out1.keys() == out2.keys()
+        for k in out1:
+            assert out1[k] == out2[k], k
+        # and twice on the SAME instance too
+        out3 = ds1.evaluate(res, metric=metric)
+        for k in out1:
+            assert out1[k] == out3[k], k
+
     def test_bad_predictions_low_recall(self, train_dataset):
         out = train_dataset.evaluate(
             self._results(train_dataset, 500.0), metric={"add": [0.05, 0.1]}

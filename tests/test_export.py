@@ -87,6 +87,68 @@ def test_export_meta_rejects_garbage():
         read_meta(b"NOTANARTIFACT" * 4)
 
 
+def test_export_meta_rejects_truncated_and_corrupt():
+    import struct
+
+    # valid magic but nothing after it
+    with pytest.raises(ValueError, match="truncated"):
+        read_meta(b"SCFLOWX1")
+    # magic + partial length word
+    with pytest.raises(ValueError, match="truncated"):
+        read_meta(b"SCFLOWX1" + b"\x04\x00")
+    # meta_len claims more bytes than the file holds
+    with pytest.raises(ValueError, match="exceeds file"):
+        read_meta(b"SCFLOWX1" + struct.pack("<Q", 1 << 20) + b"{}")
+    # length is right but the payload is not json
+    bad = b"\xff\xfenot-json"
+    with pytest.raises(ValueError, match="corrupt"):
+        read_meta(b"SCFLOWX1" + struct.pack("<Q", len(bad)) + bad)
+
+
+def test_export_meta_reserved_keys_win(tiny_setup):
+    """Caller meta must not clobber the artifact's self-description."""
+    infer, variables, batch, img = tiny_setup
+    n = batch["labels"].shape[0]
+    spec = batch_spec(n, (img, img))
+    data = export_infer(
+        infer, variables, spec, platforms=("cpu",),
+        meta={"platforms": ["bogus"], "format": 999, "note": "kept"},
+    )
+    meta = read_meta(data)
+    assert meta["platforms"] == ["cpu"]
+    assert meta["format"] == 1
+    assert meta["note"] == "kept"
+
+
+def test_load_exported_rejects_platform_mismatch(tiny_setup, tmp_path):
+    infer, variables, batch, img = tiny_setup
+    n = batch["labels"].shape[0]
+    spec = batch_spec(n, (img, img))
+    data = export_infer(infer, variables, spec, platforms=("cpu",))
+    # splice the header to claim a platform this backend is not
+    meta = read_meta(data)
+    import struct as _s
+    import json as _j
+
+    meta["platforms"] = ["tpu_v9"]
+    payload = _j.dumps(meta).encode()
+    (n0,) = _s.unpack_from("<Q", data, 8)
+    spliced = b"SCFLOWX1" + _s.pack("<Q", len(payload)) + payload + data[16 + n0:]
+    with pytest.raises(ValueError, match="tpu_v9"):
+        load_exported(spliced)
+
+
+def test_export_empty_platforms_falls_back_to_backend(tiny_setup):
+    """`--platforms` with no values must behave like the default."""
+    infer, variables, batch, img = tiny_setup
+    n = batch["labels"].shape[0]
+    spec = batch_spec(n, (img, img))
+    data = export_infer(infer, variables, spec, platforms=())
+    import jax as _jax
+
+    assert read_meta(data)["platforms"] == [_jax.default_backend()]
+
+
 @pytest.mark.slow
 def test_export_cli_smoke(tmp_path):
     """export_main end to end: tiny config -> artifact -> load & call."""
