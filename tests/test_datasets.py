@@ -594,6 +594,139 @@ class TestBitmapMasks:
         w = bm.warpaffine(M, 12, 10)
         assert w.masks[0][3:6, 5:9].sum() == 12
 
+    def test_flip_directions(self):
+        bm = self._masks()
+        np.testing.assert_array_equal(
+            bm.flip("horizontal").masks, bm.masks[:, :, ::-1])
+        np.testing.assert_array_equal(
+            bm.flip("vertical").masks, bm.masks[:, ::-1, :])
+        np.testing.assert_array_equal(
+            bm.flip("diagonal").masks, bm.masks[:, ::-1, ::-1])
+        # involution
+        np.testing.assert_array_equal(
+            bm.flip("horizontal").flip("horizontal").masks, bm.masks)
+
+    def test_translate_integer_offset_matches_roll(self):
+        bm = self._masks()
+        t = bm.translate((10, 12), 2, direction="horizontal")
+        expect = np.zeros_like(bm.masks)
+        expect[:, :, 2:] = bm.masks[:, :, :-2]
+        np.testing.assert_array_equal(t.masks, expect)
+        tv = bm.translate((10, 12), -3, direction="vertical")
+        expect = np.zeros_like(bm.masks)
+        expect[:, :-3, :] = bm.masks[:, 3:, :]
+        np.testing.assert_array_equal(tv.masks, expect)
+
+    def test_translate_fill_val(self):
+        bm = self._masks()
+        t = bm.translate((10, 12), 4, fill_val=1)
+        assert (t.masks[:, :, :4] == 1).all()
+
+    def test_shear_golden(self):
+        # warpAffine applies the FORWARD map dst = M @ src: a pixel at
+        # (x=4, y=2) under horizontal shear m=1 lands at x = 4 + 1*2 = 6
+        m = np.zeros((1, 6, 8), np.uint8)
+        m[0, 2, 4] = 1
+        bm = BitmapMasks(m, 6, 8)
+        s = bm.shear((6, 8), 1.0, direction="horizontal",
+                     interpolation="nearest")
+        assert s.masks[0, 2, 6] == 1 and s.masks[0].sum() == 1
+        # vertical: y_dst = 1*4 + 2 = 6, off the 6-row canvas -> pixel gone
+        sv = bm.shear((6, 8), 1.0, direction="vertical",
+                      interpolation="nearest")
+        assert sv.masks[0].sum() == 0
+
+    def test_rotate_180_and_90(self):
+        bm = self._masks()
+        # 180 deg about the exact center == diagonal flip
+        r = bm.rotate((10, 12), 180.0)
+        np.testing.assert_array_equal(r.masks, bm.masks[:, ::-1, ::-1])
+        # square mask, 90 deg clockwise (mmcv positive angle = clockwise)
+        sq = np.zeros((1, 8, 8), np.uint8)
+        sq[0, 1, 2] = 1
+        b2 = BitmapMasks(sq, 8, 8)
+        r90 = b2.rotate((8, 8), 90.0)
+        assert r90.masks[0, 2, 6] == 1 and r90.masks[0].sum() == 1
+
+    def test_expand(self):
+        bm = self._masks()
+        e = bm.expand(20, 24, 5, 6)
+        assert (e.height, e.width) == (20, 24)
+        np.testing.assert_array_equal(e.masks[:, 5:15, 6:18], bm.masks)
+        assert e.masks.sum() == bm.masks.sum()
+
+    def test_crop_and_resize_identity_box(self):
+        # roi covering exactly one axis-aligned block, resized to its own
+        # size, reproduces the block (interior samples all fall inside)
+        m = np.zeros((1, 16, 16), np.uint8)
+        m[0, 4:12, 4:12] = 1
+        bm = BitmapMasks(m, 16, 16)
+        out = bm.crop_and_resize(
+            np.array([[4.0, 4.0, 12.0, 12.0]]), (8, 8), np.array([0]))
+        assert out.masks.shape == (1, 8, 8)
+        np.testing.assert_array_equal(out.masks[0], np.ones((8, 8), np.uint8))
+
+    def test_crop_and_resize_vs_naive_roi_align(self):
+        # value test against a literal per-sample transcription of the
+        # roi_align avg/aligned=True/sampling_ratio=0 algorithm
+        rng = np.random.default_rng(3)
+        m = (rng.random((2, 13, 17)) > 0.5).astype(np.uint8)
+        bm = BitmapMasks(m, 13, 17)
+        boxes = np.array([[1.3, 2.1, 9.7, 11.2], [-1.0, 0.5, 18.0, 13.5]])
+        inds = np.array([1, 0])
+        out = bm.crop_and_resize(boxes, (5, 7), inds, binarize=False)
+
+        def naive(mask, box, oh, ow):
+            x1, y1, x2, y2 = box - 0.5
+            rw, rh = x2 - x1, y2 - y1
+            bw, bh = rw / ow, rh / oh
+            gx = max(int(np.ceil(rw / ow)), 1)
+            gy = max(int(np.ceil(rh / oh)), 1)
+            H, W = mask.shape
+            res = np.zeros((oh, ow))
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0.0
+                    for iy in range(gy):
+                        for ix in range(gx):
+                            y = y1 + (i + (iy + 0.5) / gy) * bh
+                            x = x1 + (j + (ix + 0.5) / gx) * bw
+                            if y < -1.0 or y > H or x < -1.0 or x > W:
+                                continue
+                            y = max(y, 0.0)
+                            x = max(x, 0.0)
+                            yl = min(int(y), H - 1)
+                            xl = min(int(x), W - 1)
+                            yh = min(yl + 1, H - 1)
+                            xh = min(xl + 1, W - 1)
+                            ly, lx = y - yl, x - xl
+                            acc += ((1 - ly) * (1 - lx) * mask[yl, xl]
+                                    + (1 - ly) * lx * mask[yl, xh]
+                                    + ly * (1 - lx) * mask[yh, xl]
+                                    + ly * lx * mask[yh, xh])
+                    res[i, j] = acc / (gx * gy)
+            return res
+
+        # binarize=False path returns uint8 of the float avg (truncation),
+        # so compare the binarized variant instead for exactness
+        out_bin = bm.crop_and_resize(boxes, (5, 7), inds, binarize=True)
+        for b in range(2):
+            expect = naive(m[inds[b]].astype(np.float64), boxes[b], 5, 7)
+            np.testing.assert_array_equal(out_bin.masks[b],
+                                          (expect >= 0.5).astype(np.uint8))
+
+    def test_cal_iof_and_copy(self):
+        bm = self._masks()
+        occ = np.zeros((10, 12), np.uint8)
+        occ[2:5, 3:5] = 1  # 6 px, all inside instance 0
+        iof = bm.cal_iof(occ)
+        np.testing.assert_allclose(iof, [1.0, 0.0])
+        assert bm.cal_iof(np.zeros((10, 12), np.uint8)).tolist() == [1.0, 1.0]
+        cp = bm.copy()
+        cp.masks[0, 0, 0] = 7
+        assert bm.masks[0, 0, 0] == 0  # deep copy
+        np.testing.assert_array_equal(bm.to_ndarray(), bm.masks)
+
 
 class TestRefineTestDataset:
     """No-GT submission-run variant (reference refine.py:221-366): initial
