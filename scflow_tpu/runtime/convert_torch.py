@@ -196,9 +196,22 @@ def convert_torch_checkpoint(
     cxt_norm: str = "BN",
     mmflow: bool = False,
     strict: bool = True,
+    manifest: Optional[Dict[str, Any]] = None,
 ):
+    """manifest: a runtime.manifest key->shape table; when given, the RAW
+    loaded state dict (pre-duplication for mmflow checkpoints) is verified
+    against it FIRST, so a mismatched real checkpoint fails with a named
+    key diff instead of a silent partial fill (MIGRATION.md guarantee)."""
     sd = load_torch_state_dict(path)
-    if mmflow or not any(k.startswith("real_encoder.") for k in sd):
+    is_mmflow = mmflow or not any(k.startswith("real_encoder.") for k in sd)
+    if manifest is not None:
+        from scflow_tpu.runtime.manifest import verify_state_dict
+
+        # mmflow checkpoints carry a foreign decoder — those keys ride
+        # along and are matched by name only (manifest.py docstring)
+        allow = ("decoder.",) if is_mmflow else ()
+        verify_state_dict(sd, manifest, allow_unexpected_prefixes=allow)
+    if is_mmflow:
         sd = duplicate_mmflow_encoder(sd)
     return convert_state_dict_to_variables(
         sd, variables, encoder_norm, cxt_norm, strict=strict

@@ -28,6 +28,10 @@ def main():
     p.add_argument("--out", required=True, help="orbax output dir")
     p.add_argument("--save-torch", default=None,
                    help="also write the duplicated-encoder .pth")
+    p.add_argument("--strict", action="store_true",
+                   help="verify the checkpoint against the transcribed "
+                        "reference state-dict manifest first; fail with a "
+                        "named key diff on any mismatch")
     args = p.parse_args()
 
     from scflow_tpu.apis import build_render_assets, init_model_variables
@@ -56,9 +60,15 @@ def main():
 
     enc_norm = cfg.model.get("encoder", {}).get("norm_cfg", {}).get("type", "IN")
     cxt_norm = cfg.model.get("cxt_encoder", {}).get("norm_cfg", {}).get("type", "BN")
+    manifest = None
+    if args.strict:
+        from scflow_tpu.runtime.manifest import mmflow_raft_manifest
+
+        manifest = mmflow_raft_manifest()
     converted = convert_torch_checkpoint(
         args.checkpoint, jax.tree_util.tree_map(np.asarray, variables),
         encoder_norm=enc_norm, cxt_norm=cxt_norm, mmflow=True, strict=False,
+        manifest=manifest,
     )
     save_params(args.out, converted["params"], converted.get("batch_stats"))
     print(f"wrote flax params {args.out}")
