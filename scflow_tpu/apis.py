@@ -187,9 +187,16 @@ def load_eval_checkpoint(path, variables, cfg_model=None, logger=None):
         cfg_model = cfg_model or {}
         enc_norm = cfg_model.get("encoder", {}).get("norm_cfg", {}).get("type", "IN")
         cxt_norm = cfg_model.get("cxt_encoder", {}).get("norm_cfg", {}).get("type", "BN")
+        # verify the real checkpoint against the transcribed reference
+        # manifest first: a converter/naming mismatch fails loudly with a
+        # named key diff instead of silently leaving leaves random
+        from scflow_tpu.runtime.manifest import manifest_for_config
+
+        manifest = manifest_for_config(cfg_model)
         return convert_torch_checkpoint(
             path, jax.tree_util.tree_map(np.asarray, variables),
             encoder_norm=enc_norm, cxt_norm=cxt_norm, strict=False,
+            manifest=manifest,
         )
     template = {"params": jax.tree_util.tree_map(np.asarray, variables["params"])}
     if "batch_stats" in variables:
@@ -225,6 +232,7 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
             max_flow=mcfg.get("max_flow", 400.0),
             filter_invalid_flow=mcfg.get("filter_invalid_flow", True),
             loss_kwargs=loss_kwargs,
+            render_augmentations=mcfg.get("render_augmentations"),
         )
     flow_lf = mcfg.get("flow_loss_cfg", {}).get("loss_func_cfg", {})
     occ_lf = mcfg.get("occlusion_loss_cfg", {}).get("loss_func_cfg", {})
@@ -236,6 +244,7 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
         gamma=mcfg.get("flow_loss_cfg", {}).get("gamma", 0.8),
         flow_weight=flow_lf.get("loss_weight", 1.0),
         occlusion_weight=occ_lf.get("loss_weight", 100.0),
+        render_augmentations=mcfg.get("render_augmentations"),
     )
 
 

@@ -81,9 +81,14 @@ def render_and_normalize(
     norm_std,
     chunk: int = 64,
     backend: str = "xla",
+    augment_fn=None,
+    augment_key=None,
 ):
     """Render at the reference pose and normalize like the data pipeline
-    (base_refiner.py:153-166: image/255-space mean/std)."""
+    (base_refiner.py:153-166: image/255-space mean/std).  augment_fn
+    (models/augment.py, the render_augmentations config key) runs on the
+    [0, 1] rendered images BEFORE normalization — same ordering as the
+    reference (base_refiner.py:159-166)."""
     backend = resolve_backend(backend)
     h, w = image_size
     out = render_batch(
@@ -102,9 +107,12 @@ def render_and_normalize(
         chunk=chunk,
         backend=backend,
     )
+    images = out["images"]
+    if augment_fn is not None:
+        images = augment_fn(augment_key, images)
     mean = jnp.asarray(norm_mean, jnp.float32) / 255.0
     std = jnp.asarray(norm_std, jnp.float32) / 255.0
-    images = (out["images"] - mean) / std
+    images = (images - mean) / std
     return images, out["depths"], out["masks"]
 
 
@@ -214,14 +222,23 @@ def make_scflow_train_step(
     render_backend: str = "auto",
     lookup_backend: str = "xla",
     donate: bool = True,
+    render_augmentations: Optional[Any] = None,
+    augment_seed: int = 0,
 ):
     """Returns jitted train_step(state, batch) -> (state, log_vars).
 
     batch keys (device arrays, batch axis 0): real_images (N,H,W,3)
     normalized, ref_rotations, ref_translations, gt_rotations,
     gt_translations, labels, k, gt_masks (N,H,W).
+
+    render_augmentations: config list for on-device photometric augs of the
+    rendered images (reference base_refiner.py:52-62, :159-160); randomness
+    folds the step counter so training is deterministic and resume-exact.
     """
     loss_kwargs = dict(loss_kwargs or {})
+    from scflow_tpu.models.augment import build_render_augmentation
+
+    augment_fn = build_render_augmentation(render_augmentations)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rendered_images, rendered_depths, rendered_masks = render_and_normalize(
@@ -235,6 +252,10 @@ def make_scflow_train_step(
             norm_std,
             chunk=render_chunk,
             backend=render_backend,
+            augment_fn=augment_fn,
+            augment_key=jax.random.fold_in(
+                jax.random.PRNGKey(augment_seed), state.step
+            ) if augment_fn is not None else None,
         )
         gt_flow = flow_from_pose_and_depth(
             batch["ref_rotations"], batch["ref_translations"],
@@ -310,16 +331,25 @@ def make_raft_train_step(
     render_backend: str = "auto",
     lookup_backend: str = "xla",
     donate: bool = True,
+    render_augmentations: Optional[Any] = None,
+    augment_seed: int = 0,
 ):
     """Train step for the RAFT baseline refiners (flow [+ occlusion] losses;
     reference raft_refiner_flow_mask.py:169-222)."""
     from scflow_tpu.geometry.flow import filter_flow_by_depth
+    from scflow_tpu.models.augment import build_render_augmentation
+
+    augment_fn = build_render_augmentation(render_augmentations)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rendered_images, rendered_depths, rendered_masks = render_and_normalize(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
             chunk=render_chunk, backend=render_backend,
+            augment_fn=augment_fn,
+            augment_key=jax.random.fold_in(
+                jax.random.PRNGKey(augment_seed), state.step
+            ) if augment_fn is not None else None,
         )
         gt_flow = flow_from_pose_and_depth(
             batch["ref_rotations"], batch["ref_translations"],
