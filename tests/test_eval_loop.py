@@ -1,8 +1,10 @@
-"""Unit tests for eval-loop batching helpers."""
+"""Unit tests for eval-loop batching helpers and the pipelined test loop."""
 
 import numpy as np
+import pytest
 
-from scflow_tpu.runtime.eval_loop import _bucket, pad_batch
+from scflow_tpu.runtime.eval_loop import (_bucket, pad_batch,
+                                          single_process_test)
 
 
 class TestBucket:
@@ -39,6 +41,84 @@ def test_pad_batch_repeats_row0():
     assert out["a"].shape == (8, 2)
     np.testing.assert_array_equal(out["a"][3:], np.tile(batch["a"][:1], (5, 1)))
     assert out["b"].shape == (8,)
+
+
+class _StubDataset:
+    """Minimal dataset emitting collate_batch-shaped samples with a varying
+    per-image object count (exercises the bucket padding)."""
+
+    def __init__(self, n_imgs=7):
+        self.n = n_imgs
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        n_obj = 1 + idx % 3
+        return dict(
+            img=rng.random((n_obj, 8, 8, 3)).astype(np.float32),
+            annots=dict(
+                labels=np.arange(n_obj, dtype=np.int32),
+                ref_rotations=np.tile(np.eye(3, dtype=np.float32)[None],
+                                      (n_obj, 1, 1)),
+                ref_translations=np.tile(
+                    np.array([[0, 0, 100.0 + idx]], np.float32), (n_obj, 1)),
+                k=np.tile(np.array(
+                    [[[50.0, 0, 4], [0, 50.0, 4], [0, 0, 1]]], np.float32),
+                    (n_obj, 1, 1)),
+            ),
+            img_metas=dict(
+                img_path=f"img_{idx}.png",
+                geometry_transform_mode="adapt_intrinsic",
+            ),
+        )
+
+
+def _stub_infer(variables, padded):
+    # deterministic function of the input so results identify their image
+    t = np.asarray(padded["ref_translations"]) + 1.0
+    R = np.asarray(padded["ref_rotations"]) * 0.5
+    return {"rotations": R, "translations": t}
+
+
+class TestPipelinedLoop:
+    def test_matches_serial_reference(self):
+        ds = _StubDataset(7)
+        got = single_process_test(None, _stub_infer, ds,
+                                  progress_interval=0)
+        assert len(got) == 7
+        for idx, r in enumerate(got):
+            n_obj = 1 + idx % 3
+            assert r["img_metas"]["img_path"] == f"img_{idx}.png"
+            assert r["pred"]["labels"].shape == (n_obj,)
+            # padding cut back + the stub transform applied
+            np.testing.assert_allclose(
+                r["pred"]["translations"][:, 2], 101.0 + idx)
+            np.testing.assert_allclose(r["pred"]["rotations"][0],
+                                       np.eye(3) * 0.5)
+
+    def test_process_sharding(self):
+        ds = _StubDataset(7)
+        r0 = single_process_test(None, _stub_infer, ds, process_index=0,
+                                 process_count=2, progress_interval=0)
+        r1 = single_process_test(None, _stub_infer, ds, process_index=1,
+                                 process_count=2, progress_interval=0)
+        assert [r["img_metas"]["img_path"] for r in r0] == [
+            "img_0.png", "img_2.png", "img_4.png", "img_6.png"]
+        assert [r["img_metas"]["img_path"] for r in r1] == [
+            "img_1.png", "img_3.png", "img_5.png"]
+
+    def test_producer_exception_propagates(self):
+        class Bad(_StubDataset):
+            def __getitem__(self, idx):
+                if idx == 3:
+                    raise RuntimeError("corrupt sample")
+                return super().__getitem__(idx)
+
+        with pytest.raises(RuntimeError, match="corrupt sample"):
+            single_process_test(None, _stub_infer, Bad(7),
+                                progress_interval=0)
 
 
 class _StubCkpt:
