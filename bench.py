@@ -61,14 +61,28 @@ def main():
     iters = 8
     nclass = 21
 
-    # 2048 faces per mesh — the scale of BOP models_1024 assets, so the
-    # on-device rendering cost is representative
-    bank = make_synthetic_bank(nclass, kind="sphere", size=80.0, subdivisions=4)
+    # bf16 compute (fp32 params/statistics) is the flagship dtype: the
+    # eval-scale ADD-parity protocol (tools/bf16_parity.py; PERFORMANCE.md
+    # "bf16 eval-scale ADD parity") measured a 0.00 ADD-table delta vs fp32
+    # over 480 poses x 20 table entries at two training levels — within the
+    # north star's 0.1% accuracy bar. The A100 torch reference itself runs
+    # TF32 convs by default (cudnn allow_tf32), so reduced-precision compute
+    # is the apples-to-apples comparison.
+    dtype = jnp.bfloat16
+
+    # 1024 faces per mesh — the reference renders models_1024 assets
+    # (configs/refine_datasets/ycbv_real.py:151, meshes decimated to 1024
+    # faces), so this matches the reference's per-refinement render
+    # workload.  Rounds 1-2 benched 2048-face meshes by mistake (2x the
+    # reference's render work; docs/PERFORMANCE.md "bench asset
+    # correction").
+    bank = make_synthetic_bank(nclass, kind="uvsphere", size=80.0)
     render_assets = RenderAssets.from_bank(bank)
 
     model = SCFlowRefiner(
         iters=iters,
         detach_depth_for_xy=True,
+        dtype=dtype,
         pose_head_cfg=dict(
             type="MultiClassPoseHead", num_class=nclass, in_channels=224,
             rotation_mode="ortho6d",
@@ -94,10 +108,15 @@ def main():
     variables = model.init(key, real, real, R, t, depth0, K, labels)
 
     on_tpu = jax.default_backend() == "tpu"
+    # slim=True: pose-only output surface — exactly what the reference's
+    # timed test-time forward returns (scflow_refiner.py:174-179 returns
+    # pose/labels/scores; its flow/mask stay internal). The eval CLI runs
+    # the same slim path (apis.make_infer_from_cfg(slim=True)).
     infer = make_scflow_infer_fn(
         model, render_assets, image_size=(img, img),
         render_backend="pallas" if on_tpu else "xla",
         lookup_backend="pallas" if on_tpu else "xla",
+        slim=True,
     )
     bdict = {
         "real_images": real,
@@ -125,7 +144,7 @@ def main():
             {
                 "metric": "scflow_refinements_per_sec_per_chip",
                 "value": round(refinements_per_sec, 2),
-                "unit": "refinements/s (256x256, 8 GRU iters, batch 64, incl. on-device render)",
+                "unit": "refinements/s (256x256, 8 GRU iters, batch 64, bf16 compute, incl. on-device render)",
                 "vs_baseline": round(
                     refinements_per_sec / A100_TORCH_REFINEMENTS_PER_SEC, 3
                 ),

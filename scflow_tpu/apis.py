@@ -93,7 +93,9 @@ def make_serving_from_cfg(cfg, model, render_assets):
     )
     banks = (render_assets.verts, render_assets.vert_valid)
     if cfg.model["type"] == "SCFlowRefiner":
-        serve_fn = make_serving_fn(model, render_assets, *banks, **common)
+        # the service fetches poses only, so run the model pose-only
+        serve_fn = make_serving_fn(model, render_assets, *banks, slim=True,
+                                   **common)
         return serve_fn, ("rotations", "translations"), None
 
     if test_cfg.get("pnp_backend", "host") == "device":
@@ -248,8 +250,14 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
     )
 
 
-def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
-    """Returns (infer_fn, pose_from_output) for the eval loop."""
+def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256),
+                        slim=False):
+    """Returns (infer_fn, pose_from_output) for the eval loop.
+
+    slim=True (SCFlow family only): pose-only output surface, matching the
+    reference's test-time forward (scflow_refiner.py:174-179) — skips the
+    full-res flow/mask reconstructions the eval loop never reads.  Callers
+    that consume flow/mask panels (TensorBoard, export) keep slim=False."""
     mcfg = cfg.model
     test_cfg = mcfg.get("test_cfg", {})
     iters = test_cfg.get("iters")
@@ -261,13 +269,13 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
             return (
                 make_scflow_cycled_infer_fn(
                     model, render_assets, cycles=cycles,
-                    image_size=image_size, iters=iters,
+                    image_size=image_size, iters=iters, slim=slim,
                 ),
                 None,
             )
         return (
             make_scflow_infer_fn(model, render_assets, image_size=image_size,
-                                 iters=iters),
+                                 iters=iters, slim=slim),
             None,
         )
     if test_cfg.get("pnp_backend", "host") == "device":
@@ -321,7 +329,7 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256)):
 def build_eval_fn(cfg, model, render_assets, dataset, image_size=(256, 256)):
     """EvalHook callable: state -> flat metric dict."""
     infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
-                                                  image_size)
+                                                  image_size, slim=True)
     metric = cfg.get("evaluation", {}).get(
         "metric", {"add": [0.05, 0.10, 0.20, 0.50]}
     )

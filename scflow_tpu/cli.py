@@ -291,7 +291,7 @@ def test_main(argv=None):
         dataset.img_files = dataset.img_files[: args.limit]
 
     infer, pose_from_output = make_infer_from_cfg(cfg, model, render_assets,
-                                                  image_size)
+                                                  image_size, slim=True)
     t0 = time.perf_counter()
     test_cfg = cfg.model.get("test_cfg", {})
     results = multi_process_test(

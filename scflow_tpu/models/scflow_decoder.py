@@ -39,7 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from scflow_tpu.geometry.camera import coords_grid, lift_depth_to_object_points
+from scflow_tpu.geometry.camera import (coords_grid,
+                                        lift_depth_to_object_points,
+                                        lift_depth_to_object_points_at)
 from scflow_tpu.geometry.flow import flow_from_object_points_at
 from scflow_tpu.geometry.se3 import apply_delta_pose
 from scflow_tpu.models.layers import ConvModule
@@ -265,6 +267,7 @@ class SCFlowDecoder(nn.Module):
         output_sequences: bool = True,
         unroll: Optional[bool] = None,
         lookup_backend: Optional[str] = None,
+        pose_only: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         unroll = self.unroll if unroll is None else unroll
@@ -282,11 +285,6 @@ class SCFlowDecoder(nn.Module):
                    out_dtype=self.dtype)
         )
 
-        # dense lift of the rendered depth under the reference pose (once)
-        points_obj, points_valid = lift_depth_to_object_points(
-            depth, internal_k, ref_rotation, ref_translation
-        )
-
         # static tap-pixel geometry for the in-loop low-res pose flow: the
         # 1/scale bilinear downsample reads rows ylo/yhi and cols xlo/xhi
         h_out, w_out = img_h // scale, img_w // scale
@@ -297,8 +295,23 @@ class SCFlowDecoder(nn.Module):
         gx, gy = np.meshgrid(cidx.astype(np.float32),
                              ridx.astype(np.float32), indexing="xy")
         pix_sub = jnp.asarray(np.stack([gx, gy], axis=-1))  # (2h, 2w, 2)
-        sub_points = points_obj[:, ridx][:, :, cidx]
-        sub_valid = points_valid[:, ridx][:, :, cidx]
+        if pose_only:
+            # pose-only output surface (the reference's test-time forward,
+            # models/refiner/scflow_refiner.py:174-179, returns only
+            # pose/labels/scores): the full-res reconstructions below are
+            # skipped, so lift only the tap pixels the in-loop downsample
+            # reads — (2h', 2w') instead of (H, W), a scale²/4 reduction
+            sub_points, sub_valid = lift_depth_to_object_points_at(
+                depth[:, ridx][:, :, cidx], internal_k, ref_rotation,
+                ref_translation, pix_sub,
+            )
+        else:
+            # dense lift of the rendered depth under the ref pose (once)
+            points_obj, points_valid = lift_depth_to_object_points(
+                depth, internal_k, ref_rotation, ref_translation
+            )
+            sub_points = points_obj[:, ridx][:, :, cidx]
+            sub_valid = points_valid[:, ridx][:, :, cidx]
         lowres = (
             sub_points, sub_valid, pix_sub,
             jnp.asarray(wy_lo), jnp.asarray(wy_hi),
@@ -348,6 +361,13 @@ class SCFlowDecoder(nn.Module):
                 stacked = tuple(y[-1:] for y in stacked)
 
         fs, df, ms, Rs, ts, drs, dts = stacked
+        if pose_only:
+            return {
+                "rotations": Rs,
+                "translations": ts,
+                "delta_rotations": drs,
+                "delta_translations": dts,
+            }
         seq = fs.shape[0]
         # full-res reconstructions, only for the requested iterations
         flow_from_pose = _flow_seq_from_poses(

@@ -16,6 +16,7 @@ render/rasterizer.py pass 2).
 """
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -24,6 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INT32_MAX = 2**31 - 1
+
+# how pack_faces_and_bin reorders faces by tile: 'gather' sorts only
+# (key, id) and applies ONE whole-row take_along_axis to a face-major
+# column stack (measured 3x cheaper at 2048 faces — the bitonic sort's
+# log² passes move 2 columns instead of 15+18); 'payload' rides every
+# column through the sort (the round-1 design; kept as the A/B baseline
+# and for debugging).  Both are stable and produce bit-identical packs.
+_SORT_MODE = os.environ.get("SCFLOW_PACK_SORT", "gather")
 
 
 def pick_face_chunk(num_faces: int, max_fc: int = 512) -> int:
@@ -372,54 +381,68 @@ def _eval_chunk_value_carry(tri_ref, c, carry, *, fc: int, pxf, pyf,
                             id_mask: int):
     """One face-chunk of the value-carry depth/attr pass (shared by the v3
     and v4 kernels): evaluate all fc faces of chunk c over the tile's pixels,
-    pick the packed-key winner, select its values/attrs, min-merge into the
-    carry."""
-    pack, vals, attrs = carry
+    pick the packed-key winner, select its row block, min-merge into the
+    carry.
+
+    The winner's barycentrics/depth/id are NOT reduced here: the selection
+    matmul (blk . sf) already carries the winner's plane-coefficient rows
+    0-9, and _emit_maps re-evaluates w0/w1/z at each pixel from those —
+    replacing four (FC, THW) mul+reduce chains per chunk with (THW,)-sized
+    FMAs once per tile.  The dot runs at Precision.HIGHEST: sf is exactly
+    {0, 1} and the 3-term bf16 split of an f32 is exact, so selection
+    returns the coefficients bit-exactly (coordinates/depth feed geometry
+    downstream; default bf16-rounded MXU passes would corrupt them)."""
+    pack, attrs = carry
     start = pl.multiple_of(c * fc, 128)
     blk = tri_ref[0, :, pl.ds(start, fc)]  # (32, FC)
     w0 = blk[0][:, None] * pxf + blk[1][:, None] * pyf + blk[2][:, None]
     w1 = blk[3][:, None] * pxf + blk[4][:, None] * pyf + blk[5][:, None]
-    w2 = 1.0 - w0 - w1
     zpix = blk[6][:, None] * pxf + blk[7][:, None] * pyf + blk[8][:, None]
     keybase = blk[9][:, None]
-    valid = blk[10][:, None] > 0.5
-    cover = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+    # no valid-row test: _face_plane_coeffs gives invalid faces w0 == -1
+    w2 = 1.0 - w0 - w1
+    cover = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
     zbits = pltpu.bitcast(jnp.maximum(zpix, 1e-6), jnp.int32)
     packed = (zbits & ~jnp.int32(id_mask)) | keybase.astype(jnp.int32)
     packed = jnp.where(cover, packed, jnp.int32(INT32_MAX))
     chunk_min = jnp.min(packed, axis=0)  # (THW,)
 
     sf = (packed == chunk_min[None, :]).astype(jnp.float32)
-    w0v = jnp.sum(sf * w0, axis=0)
-    w1v = jnp.sum(sf * w1, axis=0)
-    zv = jnp.sum(sf * zpix, axis=0)
-    idv = jnp.sum(sf * keybase, axis=0)
-    chunk_vals = jnp.stack(
-        [w0v, w1v, zv, idv,
-         jnp.zeros_like(zv), jnp.zeros_like(zv),
-         jnp.zeros_like(zv), jnp.zeros_like(zv)], axis=0
-    )  # (8, THW)
-    chunk_attrs = jax.lax.dot_general(
-        blk, sf, (((1,), (0,)), ((), ())),
+    # split-precision selection: rows 0-15 (plane coeffs + id + the first
+    # attr rows) must come back bit-exact -> HIGHEST (6 bf16 passes); rows
+    # 16-31 are shading attrs where the cheap single-pass default suffices
+    sel_lo = jax.lax.dot_general(
+        blk[0:16], sf, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (32, THW); only attr rows 11-28 are consumed
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sel_hi = jax.lax.dot_general(
+        blk[16:32], sf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    chunk_attrs = jnp.concatenate([sel_lo, sel_hi], axis=0)
+    # (32, THW); rows 0-9 = winner plane coeffs, 11-28 = winner attrs
 
     better = chunk_min < pack
     pack = jnp.where(better, chunk_min, pack)
-    vals = jnp.where(better[None, :], chunk_vals, vals)
     attrs = jnp.where(better[None, :], chunk_attrs, attrs)
-    return pack, vals, attrs
+    return pack, attrs
 
 
-def _emit_maps(out_ref, pack, vals, attrs, th: int, tw: int):
-    """Final per-tile interpolation + output write (shared v3/v4)."""
+def _emit_maps(out_ref, pack, attrs, th: int, tw: int, pxf, pyf):
+    """Final per-tile interpolation + output write (shared v3/v4): the
+    winner's barycentrics/depth are re-evaluated from its selected plane
+    coefficients (attrs rows 0-8) — same FMA expression the chunk pass
+    used, so values are bit-identical to reducing them per chunk."""
     fg = (pack != INT32_MAX).astype(jnp.float32)
-    w0 = vals[0]
-    w1 = vals[1]
+    px = pxf.reshape(-1)
+    py = pyf.reshape(-1)
+    w0 = attrs[0] * px + attrs[1] * py + attrs[2]
+    w1 = attrs[3] * px + attrs[4] * py + attrs[5]
     w2 = 1.0 - w0 - w1
-    z = vals[2]
+    z = attrs[6] * px + attrs[7] * py + attrs[8]
 
-    out = [z * fg, fg, vals[3]]
+    out = [z * fg, fg, attrs[9]]
     for a in range(3):
         out.append(w0 * attrs[11 + a] + w1 * attrs[14 + a] + w2 * attrs[17 + a])
     for a in range(3):
@@ -465,12 +488,11 @@ def _kernel_shaded_v3(counts_ref, order_ref, tri_ref, out_ref, *, fc: int,
 
     init = (
         jnp.full((thw,), INT32_MAX, jnp.int32),
-        jnp.zeros((8, thw), jnp.float32),
         jnp.zeros((32, thw), jnp.float32),
     )
     m = counts_ref[tile]
-    pack, vals, attrs = jax.lax.fori_loop(0, m, chunk_body, init)
-    _emit_maps(out_ref, pack, vals, attrs, th, tw)
+    pack, attrs = jax.lax.fori_loop(0, m, chunk_body, init)
+    _emit_maps(out_ref, pack, attrs, th, tw, pxf, pyf)
 
 
 @functools.partial(
@@ -540,7 +562,23 @@ def _face_plane_coeffs(tri_xy, tri_z, face_valid):
     zy = e0y * dz0 + e1y * dz1
     zc = z2 + e0c * dz0 + e1c * dz1
     front = jnp.minimum(jnp.minimum(z0, z1), z2) > 1e-6
-    valid_row = (face_valid & det_ok & front).astype(jnp.float32)
+    ok = face_valid & det_ok & front
+    valid_row = ok.astype(jnp.float32)
+    # fold validity into the coefficients: an invalid face gets w0 == -1 at
+    # every pixel, so the v3/v4 kernels' coverage test rejects it without
+    # reading the valid row (this also scrubs the degenerate-det inf/nan
+    # coefficients out of the pack).  The valid row is still returned for
+    # the v1/v2 kernels, which AND it explicitly.
+    zero = jnp.zeros_like(e0x)
+    e0x = jnp.where(ok, e0x, zero)
+    e0y = jnp.where(ok, e0y, zero)
+    e0c = jnp.where(ok, e0c, jnp.full_like(e0c, -1.0))
+    e1x = jnp.where(ok, e1x, zero)
+    e1y = jnp.where(ok, e1y, zero)
+    e1c = jnp.where(ok, e1c, zero)
+    zx = jnp.where(ok, zx, zero)
+    zy = jnp.where(ok, zy, zero)
+    zc = jnp.where(ok, zc, zero)
     return e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row
 
 
@@ -572,12 +610,11 @@ def _kernel_shaded_v4(sstart_ref, scount_ref, ovc_ref, ovo_ref, tri_ref,
 
     init = (
         jnp.full((thw,), INT32_MAX, jnp.int32),
-        jnp.zeros((8, thw), jnp.float32),
         jnp.zeros((32, thw), jnp.float32),
     )
     carry = jax.lax.fori_loop(0, scount_ref[tile], seg_body, init)
-    pack, vals, attrs = jax.lax.fori_loop(0, ovc_ref[tile], ov_body, carry)
-    _emit_maps(out_ref, pack, vals, attrs, th, tw)
+    pack, attrs = jax.lax.fori_loop(0, ovc_ref[tile], ov_body, carry)
+    _emit_maps(out_ref, pack, attrs, th, tw, pxf, pyf)
 
 
 @functools.partial(
@@ -864,7 +901,7 @@ def pack_faces_and_bin(
     key = jnp.where(face_valid, cy * tx + cx, 1e9)
     big = jnp.float32(1e9)
     cols = [
-        key, e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
+        e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
         jnp.where(face_valid, xmin, big), jnp.where(face_valid, xmax, -big),
         jnp.where(face_valid, ymin, big), jnp.where(face_valid, ymax, -big),
         jnp.arange(f, dtype=jnp.float32)[None].repeat(n, 0),
@@ -873,9 +910,28 @@ def pack_faces_and_bin(
     if extra_cols is not None:
         ne = extra_cols.shape[1]
         cols += [extra_cols[:, i] for i in range(ne)]
-    s = jax.lax.sort(cols, dimension=1, num_keys=1, is_stable=True)
+    if _SORT_MODE == "gather":
+        # sort only (key, id), then reorder every column with ONE whole-row
+        # take_along_axis on a (N, F, C) face-major stack: the bitonic sort
+        # moves 2 columns instead of 15+E through its log² passes, and the
+        # row gather rides the TPU's fast whole-row path (measured 9.4 ->
+        # ~3 ms at batch 64 / 2048 faces; docs/PERFORMANCE.md round 3).
+        # Stable sort + positional gather = bit-identical to the payload
+        # sort (tests/test_pallas_raster.py::test_pack_sort_modes_agree).
+        iota = jnp.broadcast_to(
+            jnp.arange(f, dtype=jnp.float32)[None], (n, f))
+        _, sid = jax.lax.sort((key, iota), dimension=1, num_keys=1,
+                              is_stable=True)
+        payload = jnp.stack(cols, axis=-1)  # (N, F, C)
+        sorted_cols = jnp.take_along_axis(
+            payload, sid.astype(jnp.int32)[..., None], axis=1)
+        s = [jnp.squeeze(c, -1) for c in jnp.split(
+            sorted_cols, sorted_cols.shape[-1], axis=-1)]
+    else:
+        s = list(jax.lax.sort([key] + cols, dimension=1, num_keys=1,
+                              is_stable=True))[1:]
     (e0x, e0y, e0c, e1x, e1y, e1c, zx, zy, zc, valid_row,
-     xmin, xmax, ymin, ymax, orig_id) = s[1:16]
+     xmin, xmax, ymin, ymax, orig_id) = s[0:15]
     perm = orig_id.astype(jnp.int32)
 
     rows = jnp.stack(
@@ -902,7 +958,7 @@ def pack_faces_and_bin(
         hit_y[:, :, None, :] & hit_x[:, None, :, :]
     ).astype(jnp.int32)  # (N, TY, TX, NC)
     if extra_cols is not None:
-        sorted_extra = jnp.stack(s[16 : 16 + ne], axis=1)  # (N, E, F)
+        sorted_extra = jnp.stack(s[15 : 15 + ne], axis=1)  # (N, E, F)
         return rows, active, perm, sorted_extra
     return rows, active, perm
 

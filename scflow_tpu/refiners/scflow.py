@@ -118,6 +118,7 @@ class SCFlowRefiner(nn.Module):
         output_sequences: bool = True,
         unroll: Optional[bool] = None,
         lookup_backend: Optional[str] = None,
+        pose_only: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         feat_render, feat_real, h_feat, cxt_feat = self.extract_feat(
             render_images, real_images, train
@@ -138,4 +139,5 @@ class SCFlowRefiner(nn.Module):
             output_sequences=output_sequences,
             unroll=unroll,
             lookup_backend=lookup_backend,
+            pose_only=pose_only,
         )

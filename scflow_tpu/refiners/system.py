@@ -478,10 +478,19 @@ def make_scflow_infer_fn(
     render_backend: str = "auto",
     lookup_backend: str = "auto",
     unroll: bool = False,
+    slim: bool = False,
 ):
     """Returns jitted infer(variables, batch) -> dict with final rotations /
     translations (patch-intrinsics frame; host code remaps to the original
-    image, pose.py:264-309) plus the full prediction sequences.
+    image, pose.py:264-309) plus final mask + flow panels.
+
+    slim=True returns ONLY the final pose — the output surface of the
+    reference's test-time forward (models/refiner/scflow_refiner.py:174-179,
+    which returns pose/labels/scores and discards flow/mask).  This skips
+    the final-iteration full-res flow/mask reconstructions AND the dense
+    256² depth lift inside the decoder (pose_only mode), and shrinks the
+    device->host fetch from ~1.3 MB/image to 48 B/image.  The eval path
+    uses slim=True; TensorBoard panels and serving use slim=False.
 
     unroll=False (default) runs the decoder recurrence as lax.scan — measured
     faster end to end for inference than the unrolled loop (54.5 vs 61.2 ms
@@ -515,15 +524,18 @@ def make_scflow_infer_fn(
             output_sequences=False,
             unroll=unroll,
             lookup_backend=lookup_backend,
+            pose_only=slim,
         )
         # no seq_* outputs: the model runs output_sequences=False here, so
         # only the final iteration exists (eval consumes just the final pose)
-        return {
+        res = {
             "rotations": out["rotations"][-1],
             "translations": out["translations"][-1],
-            "masks": out["masks"][-1],
-            "flow": out["flow_from_pred"][-1],
         }
+        if not slim:
+            res["masks"] = out["masks"][-1]
+            res["flow"] = out["flow_from_pred"][-1]
+        return res
 
     return infer
 
@@ -598,17 +610,23 @@ def make_scflow_cycled_infer_fn(
     render_backend: str = "auto",
     lookup_backend: str = "auto",
     unroll: bool = False,
+    slim: bool = False,
 ):
     """Multi-pass refinement (reference forward_multiple_pass,
     base_refiner.py:249-260): after each cycle the object is re-rendered at
-    the refined pose and refined again.  All cycles run in one jit."""
+    the refined pose and refined again.  All cycles run in one jit.
+
+    slim=True: pose-only output surface (see make_scflow_infer_fn) —
+    intermediate cycles always run pose-only (their flow/mask are never
+    consumed); slim only controls the LAST cycle's outputs."""
 
     @jax.jit
     def infer(variables, batch):
         R = batch["ref_rotations"]
         t = batch["ref_translations"]
         out = None
-        for _ in range(cycles):
+        for cycle in range(cycles):
+            last = cycle == cycles - 1
             rendered_images, rendered_depths, _ = render_and_normalize(
                 render_assets, R, t, batch["k"], batch["labels"],
                 image_size, norm_mean, norm_std, chunk=render_chunk,
@@ -619,14 +637,14 @@ def make_scflow_cycled_infer_fn(
                 rendered_depths, batch["k"], batch["labels"], iters=iters,
                 train=False, output_sequences=False, unroll=unroll,
                 lookup_backend=lookup_backend,
+                pose_only=slim or not last,
             )
             R = out["rotations"][-1]
             t = out["translations"][-1]
-        return {
-            "rotations": R,
-            "translations": t,
-            "masks": out["masks"][-1],
-            "flow": out["flow_from_pred"][-1],
-        }
+        res = {"rotations": R, "translations": t}
+        if not slim:
+            res["masks"] = out["masks"][-1]
+            res["flow"] = out["flow_from_pred"][-1]
+        return res
 
     return infer

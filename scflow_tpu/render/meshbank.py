@@ -121,15 +121,51 @@ def _subdivide(verts: np.ndarray, faces: np.ndarray):
     return np.asarray(verts, np.float32), np.asarray(out, np.int32)
 
 
+def _uv_sphere(radius: float, rings: int, segments: int):
+    """Lat/long sphere with exactly 2*segments*(rings-1) triangles
+    (rings=17, segments=32 -> 1024 — the face budget of the reference's
+    models_1024 assets, ycbv_real.py:151)."""
+    vs = [np.array([0.0, 0.0, radius], np.float32)]
+    for i in range(1, rings):
+        phi = np.pi * i / rings
+        for j in range(segments):
+            theta = 2.0 * np.pi * j / segments
+            vs.append(np.array([
+                radius * np.sin(phi) * np.cos(theta),
+                radius * np.sin(phi) * np.sin(theta),
+                radius * np.cos(phi)], np.float32))
+    vs.append(np.array([0.0, 0.0, -radius], np.float32))
+    v = np.stack(vs)
+    last = len(vs) - 1
+    f = []
+    ring0 = lambda i, j: 1 + (i - 1) * segments + (j % segments)
+    for j in range(segments):  # top cap
+        f.append([0, ring0(1, j), ring0(1, j + 1)])
+    for i in range(1, rings - 1):  # bands
+        for j in range(segments):
+            a, b = ring0(i, j), ring0(i, j + 1)
+            c, d = ring0(i + 1, j), ring0(i + 1, j + 1)
+            f.append([a, c, d])
+            f.append([a, d, b])
+    for j in range(segments):  # bottom cap
+        f.append([last, ring0(rings - 1, j + 1), ring0(rings - 1, j)])
+    return v, np.asarray(f, np.int32)
+
+
 def make_synthetic_bank(num_class: int = 3, kind: str = "cube",
                         size: float = 60.0, subdivisions: int = 0) -> MeshBank:
     """Synthetic colored meshes for tests/benchmarks (no dataset needed).
-    `subdivisions` quadruples the face count per level (e.g. a sphere with
-    subdivisions=4 has 2048 faces — the scale of BOP models_1024 meshes)."""
+    `subdivisions` quadruples the face count per level (a 'sphere' with
+    subdivisions=4 has 2048 faces).  kind='uvsphere' builds exactly
+    1024 faces per mesh — the face budget of the reference's models_1024
+    render assets (configs/refine_datasets/ycbv_real.py:151), i.e. the
+    representative benchmark workload."""
     meshes = []
     for c in range(num_class):
         s = size * (1.0 + 0.3 * c)
-        if kind == "cube":
+        if kind == "uvsphere":
+            v, f = _uv_sphere(s / 2.0, rings=17, segments=32)
+        elif kind == "cube":
             v = np.array(
                 [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
                 np.float32,
@@ -152,7 +188,7 @@ def make_synthetic_bank(num_class: int = 3, kind: str = "cube",
                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
                 np.int32,
             )
-        for _ in range(subdivisions):
+        for _ in range(subdivisions if kind != "uvsphere" else 0):
             v, f = _subdivide(v, f)
             if kind != "cube":  # keep spheres spherical
                 v = v / np.linalg.norm(v, axis=-1, keepdims=True) * (s / 2)

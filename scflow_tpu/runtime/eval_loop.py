@@ -88,6 +88,7 @@ def single_process_test(
     process_index: int = 0,
     process_count: int = 1,
     prefetch: int = 2,
+    pipelined: bool = True,
 ) -> List[Dict[str, Any]]:
     """Runs inference over the dataset (this process's shard) and returns the
     reference-format result list: per image {'pred': {...}, 'img_metas': ...}.
@@ -103,7 +104,10 @@ def single_process_test(
     k's inference before FETCHING image k-1's outputs (jax dispatch is
     async, so the device computes k while the host runs k-1's device_get +
     cv2 remap/PnP).  Results are identical to the serial loop — same
-    per-image batches, same order; only the schedule changes."""
+    per-image batches, same order; only the schedule changes.
+    pipelined=False restores the serial schedule (load -> dispatch ->
+    fetch -> remap per image) — a debug knob and the A/B baseline for
+    tools/bench_eval.py."""
     import queue
     import threading
 
@@ -113,21 +117,48 @@ def single_process_test(
     total = len(indices)
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
+    def load(idx):
+        sample = dataset[idx]
+        batch = collate_batch([sample])
+        metas = batch.pop("img_metas")
+        batch.pop("per_img_patch_num")
+        n = batch["labels"].shape[0]
+        padded = pad_batch(batch, _bucket(n, max_bucket, fixed_bucket))
+        return batch, padded, metas, n
+
     def producer():
         try:
             for idx in indices:
-                sample = dataset[idx]
-                batch = collate_batch([sample])
-                metas = batch.pop("img_metas")
-                batch.pop("per_img_patch_num")
-                n = batch["labels"].shape[0]
-                padded = pad_batch(batch, _bucket(n, max_bucket, fixed_bucket))
-                q.put((batch, padded, metas, n))
+                q.put(load(idx))
             q.put(None)
         except BaseException as e:  # surface loader errors in the main thread
             q.put(e)
 
-    threading.Thread(target=producer, daemon=True).start()
+    if pipelined:
+        threading.Thread(target=producer, daemon=True).start()
+    else:
+        # serial schedule: one image fully processed before the next loads
+        results = []
+        t_start = time.perf_counter()
+        t_first = None
+        for count, idx in enumerate(indices, start=1):
+            batch, padded, metas, n = load(idx)
+            out = jax.device_get(infer_fn(variables, padded))
+            if t_first is None:
+                t_first = time.perf_counter()
+            results.append(_finish_result(out, batch, metas, n,
+                                          pose_from_output))
+            if progress_interval and count % progress_interval == 0:
+                dt = time.perf_counter() - t_start
+                logger.info(f"test [{count}/{total}] {count / dt:.2f} img/s")
+        if total:
+            dt = time.perf_counter() - t_start
+            steady = ((time.perf_counter() - t_first) / max(total - 1, 1)
+                      * 1e3 if total > 1 else float("nan"))
+            logger.info(
+                f"per-image latency: mean {steady:.1f} ms serial "
+                f"(total {dt:.1f}s / {total} imgs incl. compile)")
+        return results
 
     t_start = time.perf_counter()
     t_first = None

@@ -189,11 +189,16 @@ def make_serving_fn(
     iters: Optional[int] = None,
     render_backend: str = "auto",
     lookup_backend: str = "auto",
+    slim: bool = False,
 ):
     """Returns jitted serve(variables, frames, frame_idx, ref_R, ref_t, K,
     labels) -> {'rotations', 'translations'} in the original camera frame.
 
     frames: (I, Hf, Wf, 3) in [0, 1] RGB; K: (P, 3, 3) original intrinsics.
+
+    slim=True drops the 'masks' output and runs the model pose-only
+    (skips the full-res flow/mask reconstructions) — use when the service
+    fetches only poses, which is the default PoseService configuration.
     """
 
     @jax.jit
@@ -217,13 +222,15 @@ def make_serving_fn(
             variables, rendered_images, real_images, ref_rotations,
             ref_translations, rendered_depths, newK, labels, iters=iters,
             train=False, output_sequences=False, unroll=False,
-            lookup_backend=lookup_backend,
+            lookup_backend=lookup_backend, pose_only=slim,
         )
         # adapt_intrinsic: poses live in the original camera frame already
-        return {
+        res = {
             "rotations": out["rotations"][-1],
             "translations": out["translations"][-1],
-            "masks": out["masks"][-1],
         }
+        if not slim:
+            res["masks"] = out["masks"][-1]
+        return res
 
     return serve

@@ -216,3 +216,26 @@ def test_shaded_v4_exact_binning_matches_v3(scene, dup, sort_mode):
         np.asarray(perm4), b[:, 2].astype(np.int64).reshape(b.shape[0], -1), 1
     ).reshape(b[:, 2].shape)
     assert (fid3[fg] != fid4[fg]).mean() < 2e-3
+
+
+def test_pack_sort_modes_agree(scene, monkeypatch):
+    """'gather' (key+id sort, one whole-row reorder) must be bit-identical
+    to 'payload' (every column rides the sort): both are stable, so the
+    permutation — and therefore every packed row, activity bin, and perm —
+    is the same."""
+    import scflow_tpu.ops.pallas.rasterize as rz
+
+    xy, z = project_to_screen(scene["verts_cam"], scene["K"])
+    tri_xy, tri_z = _gather_tri(xy, z, scene["faces"])
+    attr6 = jnp.concatenate([scene["normals_cam"], scene["colors"]], axis=-1)
+    corner_attrs = gather_corner_attrs(attr6, scene["faces"])
+    img = scene["img"]
+
+    outs = {}
+    for mode in ("payload", "gather"):
+        monkeypatch.setattr(rz, "_SORT_MODE", mode)
+        outs[mode] = pack_shaded_and_bin(
+            tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img,
+            8, 128, 128)
+    for a, b in zip(outs["payload"], outs["gather"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -128,6 +128,24 @@ class TestTrainStep:
             np.asarray(out["rotations"]), np.asarray(batch["ref_rotations"]), atol=1e-4
         )
 
+    def test_slim_infer_matches_full(self, setup):
+        """slim=True (pose-only output surface, the reference's test-time
+        return) must produce the same poses as the full infer fn — the
+        skipped work (dense depth lift + full-res flow/mask reconstruction)
+        is downstream of the pose recurrence."""
+        bank, render_assets, loss_assets, model, batch, variables = setup
+        full = make_scflow_infer_fn(model, render_assets, image_size=(H, W),
+                                    render_chunk=16)
+        slim = make_scflow_infer_fn(model, render_assets, image_size=(H, W),
+                                    render_chunk=16, slim=True)
+        out_f = full(variables, batch)
+        out_s = slim(variables, batch)
+        assert set(out_s) == {"rotations", "translations"}
+        np.testing.assert_allclose(np.asarray(out_s["rotations"]),
+                                   np.asarray(out_f["rotations"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_s["translations"]),
+                                   np.asarray(out_f["translations"]), atol=1e-5)
+
     def test_sharded_train_step_multichip(self, setup):
         """Data-parallel step over the 8-device CPU mesh: batch sharded,
         params replicated; gradient all-reduce is implicit."""

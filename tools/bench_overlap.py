@@ -74,7 +74,7 @@ def main():
     from scflow_tpu.runtime import TrainState, build_optimizer
 
     batch, img, iters, nclass = args.batch, args.img, 8, 21
-    bank = make_synthetic_bank(nclass, kind="sphere", size=80.0, subdivisions=4)
+    bank = make_synthetic_bank(nclass, kind="uvsphere", size=80.0)
     render_assets = RenderAssets.from_bank(bank)
     loss_assets = LossAssets(
         points=jnp.asarray(bank.verts), valid=jnp.asarray(bank.vert_valid),

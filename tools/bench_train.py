@@ -76,7 +76,7 @@ def main():
     iters = 8
     nclass = 21
 
-    bank = make_synthetic_bank(nclass, kind="sphere", size=80.0, subdivisions=4)
+    bank = make_synthetic_bank(nclass, kind="uvsphere", size=80.0)
     render_assets = RenderAssets.from_bank(bank)
     loss_assets = LossAssets(
         points=jnp.asarray(bank.verts),

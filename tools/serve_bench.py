@@ -58,7 +58,7 @@ def main():
     print(f"{n_dev} device(s), backend={jax.default_backend()}, "
           f"render={backend}, dtype={args.dtype}")
 
-    bank = make_synthetic_bank(args.nclass, kind="sphere", size=80.0, subdivisions=4)
+    bank = make_synthetic_bank(args.nclass, kind="uvsphere", size=80.0)
     ra = RenderAssets.from_bank(bank)
     model = SCFlowRefiner(
         iters=args.iters, detach_depth_for_xy=True, dtype=dtype,
@@ -90,9 +90,11 @@ def main():
         key, dummy, dummy, R[:2], t[:2], jnp.zeros((2, args.img, args.img)),
         K[:2], labels[:2],
     )
+    # slim=True matches the shipped service configuration (PoseService
+    # fetches poses only; apis.make_serving_from_cfg builds slim)
     serve = make_serving_fn(
         model, ra, ra.verts, ra.vert_valid, image_size=args.img,
-        render_backend=backend, iters=args.iters,
+        render_backend=backend, iters=args.iters, slim=True,
     )
 
     with mesh:
