@@ -316,16 +316,18 @@ def ortho6d_to_matrix_torch(o6d):
 
 
 def apply_delta_pose_torch(d_rot6d, d_trans, R_src, t_src, weight=10.0,
-                           depth_transform="exp"):
-    """Reference get_pose_from_delta_pose (pose.py:124-149), forward only."""
+                           depth_transform="exp", detach_depth_for_xy=False):
+    """Reference get_pose_from_delta_pose (pose.py:124-149) incl. the
+    detach_depth_for_xy stop-gradient on vz (pose.py:142-144)."""
     dR = ortho6d_to_matrix_torch(d_rot6d)
     R_dst = torch.bmm(dR, R_src)
     if depth_transform == "exp":
         vz = t_src[:, 2] / torch.exp(d_trans[:, 2])
     else:
         vz = t_src[:, 2] * (d_trans[:, 2] + 1)
-    vx = vz * (d_trans[:, 0] / weight + t_src[:, 0] / t_src[:, 2])
-    vy = vz * (d_trans[:, 1] / weight + t_src[:, 1] / t_src[:, 2])
+    vz_xy = vz.detach() if detach_depth_for_xy else vz
+    vx = vz_xy * (d_trans[:, 0] / weight + t_src[:, 0] / t_src[:, 2])
+    vy = vz_xy * (d_trans[:, 1] / weight + t_src[:, 1] / t_src[:, 2])
     return R_dst, torch.stack([vx, vy, vz], dim=-1)
 
 
@@ -366,11 +368,16 @@ class SCFlowDecoderTorch(nn.Module):
     [1->64->32 (3x3)]."""
 
     def __init__(self, num_class=3, num_levels=4, radius=4, iters=4,
-                 feat_size=(8, 8)):
+                 feat_size=(8, 8), detach_flow=True, detach_mask=True,
+                 detach_pose=True, detach_depth_for_xy=False):
         super().__init__()
         self.num_levels = num_levels
         self.radius = radius
         self.iters = iters
+        self.detach_flow = detach_flow
+        self.detach_mask = detach_mask
+        self.detach_pose = detach_pose
+        self.detach_depth_for_xy = detach_depth_for_xy
         self.encoder = MotionEncoderTorch(num_levels, radius)
         self.gru = ConvGRUTorch(128, 256)
         self.flow_pred = XHeadTorch(128, 256, 2, kind="flow")
@@ -401,6 +408,13 @@ class SCFlowDecoderTorch(nn.Module):
                                 "rotations", "translations", "masks",
                                 "delta_rotations", "delta_translations")}
         for _ in range(self.iters):
+            # reference detach structure (scflow_decoder.py:192-195): the
+            # pose-induced flow and the previous mask carry no gradient into
+            # the next iteration
+            if self.detach_flow:
+                flow = flow.detach()
+            if self.detach_mask:
+                mask = mask.detach()
             flow_small = (1.0 / scale) * F.interpolate(
                 flow, scale_factor=1.0 / scale, mode="bilinear",
                 align_corners=True)
@@ -418,7 +432,11 @@ class SCFlowDecoderTorch(nn.Module):
                 align_corners=True)
             up_mask = F.interpolate(mask, scale_factor=scale, mode="bilinear",
                                     align_corners=True)
-            R, t = apply_delta_pose_torch(d_rot, d_trans, R, t)
+            R, t = apply_delta_pose_torch(
+                d_rot, d_trans,
+                R.detach() if self.detach_pose else R,
+                t.detach() if self.detach_pose else t,
+                detach_depth_for_xy=self.detach_depth_for_xy)
             flow = flow_from_points_torch(R, t, K, p2d, p3d, H, W,
                                           invalid_flow_num)
             seqs["flow_from_pose"].append(flow)
@@ -437,12 +455,12 @@ class SCFlowRefinerTorch(nn.Module):
     decoder.  Module names match the reference checkpoint layout consumed by
     runtime/convert_torch.py."""
 
-    def __init__(self, num_class=3, iters=4, feat_size=(8, 8)):
+    def __init__(self, num_class=3, iters=4, feat_size=(8, 8), **decoder_kw):
         super().__init__()
         self.render_encoder = RAFTEncoderTorch(256, norm="IN")
         self.context = RAFTEncoderTorch(256, norm="BN")
         self.decoder = SCFlowDecoderTorch(num_class=num_class, iters=iters,
-                                          feat_size=feat_size)
+                                          feat_size=feat_size, **decoder_kw)
 
     def forward(self, render_images, real_images, ref_R, ref_t, depth, K,
                 label):
@@ -570,3 +588,111 @@ class RAFTRefinerFlowMaskTorch(nn.Module):
         n, _, hf, wf = feat_real.shape
         flow0 = torch.zeros((n, 2, hf, wf), dtype=feat_real.dtype)
         return self.decoder(feat_render, feat_real, flow0, h, cxt_feat)
+
+
+# ---------------------------------------------------------------------------
+# Loss oracles (reference models/loss/) — used by the gradient-parity tests:
+# fp64 torch backward vs jax.grad of the jitted loss.
+# ---------------------------------------------------------------------------
+
+
+def raft_loss_torch(pred_flow, gt_flow, valid=None, max_flow=400.0,
+                    loss_weight=1.0, eps=1e-10):
+    """Reference RAFTLoss (sequence_loss.py:9-24): masked L1, NCHW flows."""
+    mag = torch.sum(gt_flow**2, dim=1).sqrt()
+    if valid is None:
+        v = (mag < max_flow).to(gt_flow)
+    else:
+        v = ((valid >= 0.5) & (mag < max_flow)).to(gt_flow)
+    loss = (pred_flow - gt_flow).abs()
+    return loss_weight * (v[:, None] * loss).sum() / (v.sum() + eps)
+
+
+def l1_loss_torch(pred, gt, loss_weight=1.0):
+    """Reference L1Loss (sequence_loss.py:29-37): UNMASKED mean — the
+    reference ignores `valid` (SURVEY.md §2.4 item 8)."""
+    return loss_weight * torch.mean(torch.abs(pred - gt))
+
+
+def disentangle_pm_loss_torch(pred_r, pred_t, gt_r, gt_t, labels, meshes,
+                              diameters, sym_classes, loss_type=1,
+                              disentangle_z=True, loss_weight=1.0):
+    """Reference DisentanglePointMatchingLoss (point_matching_loss.py:160-218)
+    with the per-image python loop and brute-force NN (= knn_points K=1) for
+    symmetric classes.  meshes: list of (Vi, 3) tensors per class;
+    sym_classes: set of 0-based class ids."""
+    loss = 0.0
+    n = len(pred_r)
+    for i in range(n):
+        li = int(labels[i])
+        pts = meshes[li]
+        gt_rot = torch.matmul(gt_r[i], pts.t()).t()
+        gt_rt = gt_rot + gt_t[i][None]
+        pred_rot = torch.matmul(pred_r[i], pts.t()).t() + gt_t[i][None]
+        if li in sym_classes:
+            idx = torch.cdist(gt_rt, pred_rot).argmin(dim=1)
+            pred_rot = pred_rot[idx]
+        loss_rot = torch.linalg.norm(
+            pred_rot - gt_rt, dim=-1, ord=loss_type).mean()
+        if disentangle_z:
+            tz = gt_t[i].clone()
+            tz[-1] = pred_t[i, -1]
+            loss_z = torch.linalg.norm(
+                gt_rot + tz[None] - gt_rt, dim=-1, ord=loss_type).mean()
+            txy = pred_t[i].clone()
+            txy[-1] = gt_t[i, -1]
+            loss_xy = torch.linalg.norm(
+                gt_rot + txy[None] - gt_rt, dim=-1, ord=loss_type).mean()
+            loss_trans = loss_z + loss_xy
+        else:
+            loss_trans = torch.linalg.norm(
+                gt_rot + pred_t[i][None] - gt_rt, dim=-1,
+                ord=loss_type).mean()
+        loss = loss + (loss_rot + loss_trans) / diameters[li]
+    return loss_weight * loss / n
+
+
+def scflow_loss_torch(out, gt_r, gt_t, gt_flow, rendered_masks, labels,
+                      meshes, diameters, sym_classes, gamma=0.8,
+                      pose_weight=10.0, flow_weight=0.1, mask_weight=10.0,
+                      max_flow=400.0):
+    """The reference 3-term gamma-weighted sequence loss
+    (scflow_refiner.py:212-247 + sequence_loss.py:42-82).  gt_flow NCHW;
+    the occlusion target uses the SIGNED component sum exactly like the
+    reference (scflow_refiner.py:230)."""
+    T = out["rotations"].shape[0]
+    gt_occ = (torch.sum(gt_flow, dim=1) < max_flow).to(gt_flow.dtype)
+    total = 0.0
+    for i in range(T):
+        w = gamma ** (T - 1 - i)
+        lp = disentangle_pm_loss_torch(
+            out["rotations"][i], out["translations"][i], gt_r, gt_t, labels,
+            meshes, diameters, sym_classes, loss_type=1, disentangle_z=True,
+            loss_weight=pose_weight)
+        lf = raft_loss_torch(out["flow_from_pred"][i], gt_flow,
+                             valid=rendered_masks, max_flow=max_flow,
+                             loss_weight=flow_weight)
+        lm = l1_loss_torch(out["masks"][i][:, 0], gt_occ,
+                           loss_weight=mask_weight)
+        total = total + w * (lp + lf + lm)
+    return total
+
+
+def raft_seq_loss_torch(out, gt_flow, rendered_masks, gamma=0.8,
+                        flow_weight=1.0, occlusion_weight=100.0,
+                        max_flow=400.0):
+    """RAFT-family sequence loss (raft_refiner_flow_mask.py:169-222):
+    gamma-weighted RAFT flow loss + unmasked occlusion L1."""
+    T = out["flow"].shape[0]
+    gt_occ = (torch.sum(gt_flow, dim=1) < max_flow).to(gt_flow.dtype)
+    total = 0.0
+    for i in range(T):
+        w = gamma ** (T - 1 - i)
+        lf = raft_loss_torch(out["flow"][i], gt_flow, valid=rendered_masks,
+                             max_flow=max_flow, loss_weight=flow_weight)
+        total = total + w * lf
+        if "occlusion" in out:
+            lo = l1_loss_torch(out["occlusion"][i], gt_occ,
+                               loss_weight=occlusion_weight)
+            total = total + w * lo
+    return total
