@@ -35,6 +35,7 @@ class RAFTDecoder(nn.Module):
     radius: int = 4
     iters: int = 12
     gru_type: str = "SeqConv"
+    gru_fuse_gates: bool = False
     feat_channels: int = 256
     mask_channels: int = 64
     convex_upsample_flow: bool = True
@@ -75,7 +76,7 @@ class RAFTDecoder(nn.Module):
         motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
                                    name="encoder")
         gru = ConvGRU(self.h_channels, net_type=self.gru_type, dtype=self.dtype,
-                      name="gru")
+                      fuse_gates=self.gru_fuse_gates, name="gru")
         flow_head = XHead((self.feat_channels,), 2, kind="flow",
                           dtype=self.dtype, name="flow_pred")
         up_mask_head = None

@@ -74,6 +74,7 @@ class _SCFlowUpdate(nn.Module):
     mask_corr: bool = False
     depth_transform: str = "exp"
     gru_type: str = "SeqConv"
+    gru_fuse_gates: bool = False
     feat_channels: int = 256
     invalid_flow_num: float = 0.0
     pose_head_cfg: Optional[dict] = None
@@ -106,7 +107,8 @@ class _SCFlowUpdate(nn.Module):
 
         motion_enc = MotionEncoder(net_type=self.net_type, dtype=self.dtype,
                                    name="encoder")
-        gru = ConvGRU(h_ch, net_type=self.gru_type, dtype=self.dtype, name="gru")
+        gru = ConvGRU(h_ch, net_type=self.gru_type, dtype=self.dtype,
+                      fuse_gates=self.gru_fuse_gates, name="gru")
         flow_head = XHead((self.feat_channels,), 2, kind="flow",
                           dtype=self.dtype, name="flow_pred")
         mask_head = XHead((self.feat_channels,), 1, kind="mask",
@@ -214,6 +216,7 @@ class SCFlowDecoder(nn.Module):
     mask_corr: bool = False
     depth_transform: str = "exp"
     gru_type: str = "SeqConv"
+    gru_fuse_gates: bool = False
     feat_channels: int = 256
     pose_head_cfg: Optional[dict] = None
     dtype: Any = None
@@ -243,6 +246,7 @@ class SCFlowDecoder(nn.Module):
             mask_corr=self.mask_corr,
             depth_transform=self.depth_transform,
             gru_type=self.gru_type,
+            gru_fuse_gates=self.gru_fuse_gates,
             feat_channels=self.feat_channels,
             invalid_flow_num=invalid_flow_num,
             pose_head_cfg=self.pose_head_cfg,

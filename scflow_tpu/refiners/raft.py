@@ -27,6 +27,7 @@ class _RAFTRefinerBase(nn.Module):
     radius: int = 4
     iters: int = 12
     gru_type: str = "SeqConv"
+    gru_fuse_gates: bool = False
     convex_upsample_flow: bool = True
     max_flow: float = 400.0
     predict_occlusion: bool = False
@@ -63,6 +64,7 @@ class _RAFTRefinerBase(nn.Module):
             radius=self.radius,
             iters=self.iters,
             gru_type=self.gru_type,
+            gru_fuse_gates=self.gru_fuse_gates,
             convex_upsample_flow=self.convex_upsample_flow,
             predict_occlusion=self.predict_occlusion,
             dtype=self.dtype,

@@ -36,6 +36,7 @@ class SCFlowRefiner(nn.Module):
     mask_corr: bool = False
     depth_transform: str = "exp"
     gru_type: str = "SeqConv"
+    gru_fuse_gates: bool = False
     pose_head_cfg: Optional[dict] = None
     max_flow: float = 400.0
     dtype: Any = None
@@ -79,6 +80,7 @@ class SCFlowRefiner(nn.Module):
             mask_corr=self.mask_corr,
             depth_transform=self.depth_transform,
             gru_type=self.gru_type,
+            gru_fuse_gates=self.gru_fuse_gates,
             pose_head_cfg=self.pose_head_cfg,
             dtype=self.dtype,
             unroll=self.unroll,

@@ -279,3 +279,49 @@ class TestScanDecoder:
         for a, b in zip(g1, g2):
             d = np.linalg.norm(np.asarray(a) - np.asarray(b))
             assert d < 1e-4 * gnorm + 1e-3, d
+
+
+class TestFusedGRUGates:
+    def test_fused_gates_match_unfused(self, key):
+        """gru_fuse_gates=True shares the exact parameter tree with the
+        unfused ConvModules (conv_z{i}/conv, ...) and computes the same
+        per-output-channel reductions — outputs must match to fp32
+        accumulation noise, and init must produce an identical tree."""
+        n, H, W = 2, 64, 64
+        depth, K, R, t, label = scene_inputs(n, H, W)
+        imgs = jax.random.normal(key, (n, H, W, 3)) * 0.1
+        kw = dict(
+            iters=3,
+            pose_head_cfg=dict(type="MultiClassPoseHead", num_class=3,
+                               in_channels=224),
+        )
+        m0 = SCFlowRefiner(gru_fuse_gates=False, **kw)
+        m1 = SCFlowRefiner(gru_fuse_gates=True, **kw)
+        v = m0.init(key, imgs, imgs, R, t, depth, K, label)
+        v1 = m1.init(key, imgs, imgs, R, t, depth, K, label)
+        p0 = jax.tree_util.tree_structure(v)
+        p1 = jax.tree_util.tree_structure(v1)
+        assert p0 == p1, "fused param tree differs from unfused"
+        for a, b in zip(jax.tree_util.tree_leaves(v),
+                        jax.tree_util.tree_leaves(v1)):
+            assert a.shape == b.shape
+
+        o0 = m0.apply(v, imgs, imgs, R, t, depth, K, label)
+        o1 = m1.apply(v, imgs, imgs, R, t, depth, K, label)
+        for k in o0:
+            np.testing.assert_allclose(
+                np.asarray(o0[k]), np.asarray(o1[k]), atol=2e-5, err_msg=k
+            )
+
+        def loss(m, params):
+            out = m.apply({**v, "params": params}, imgs, imgs, R, t, depth,
+                          K, label)
+            return (jnp.sum(out["translations"] ** 2)
+                    + jnp.sum(out["flow_from_pred"] ** 2))
+
+        g0 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m0, p))(v["params"]))
+        g1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(m1, p))(v["params"]))
+        gnorm = np.sqrt(sum(float((np.asarray(a) ** 2).sum()) for a in g0))
+        for a, b in zip(g0, g1):
+            d = np.linalg.norm(np.asarray(a) - np.asarray(b))
+            assert d < 1e-4 * gnorm + 1e-3, d

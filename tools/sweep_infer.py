@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Inference throughput sweep over batch size / loop mode / dtype for the
 exact bench.py graph. Env: SWEEP_BATCHES=64,96,128 SWEEP_DTYPE=bf16
-SWEEP_UNROLL=0|1 SWEEP_SLIM=0|1 SWEEP_LOOKUP=pallas|xla."""
+SWEEP_UNROLL=0|1 SWEEP_SLIM=0|1 SWEEP_LOOKUP=pallas|xla
+SWEEP_FUSE_GATES=0|1 (ConvGRU z/r gates in one conv dispatch)."""
 
 import os
 import sys
@@ -32,6 +33,7 @@ def run(batch, dtype, unroll):
     ra = RenderAssets.from_bank(bank)
     model = SCFlowRefiner(
         iters=iters, detach_depth_for_xy=True,
+        gru_fuse_gates=os.environ.get("SWEEP_FUSE_GATES", "0") == "1",
         dtype=jnp.bfloat16 if dtype == "bf16" else None,
         pose_head_cfg=dict(type="MultiClassPoseHead", num_class=nclass,
                            in_channels=224, rotation_mode="ortho6d"),
