@@ -73,7 +73,16 @@ def build_synthetic_bop(root, num_images=3, num_class=2, render_images=False,
         poses = []
         for oi in range(num_class):
             R = Rotation.random(random_state=seed * 100 + img_id * 10 + oi).as_matrix()
-            t = np.array([(oi - 0.5) * 60, 0, 500.0 + 30 * oi])
+            if num_class <= 4:
+                t = np.array([(oi - 0.5) * 60, 0, 500.0 + 30 * oi])
+            else:
+                # >4 classes: 4-wide grid so every object stays in the
+                # 120x160 frame (the line layout walks off the right edge)
+                col, row = oi % 4, oi // 4
+                nrow = (num_class + 3) // 4
+                t = np.array([(col - 1.5) * 70,
+                              (row - (nrow - 1) / 2) * 55,
+                              500.0 + 12 * oi])
             poses.append((R, t))
             anns.append(dict(cam_R_m2c=R.reshape(-1).tolist(),
                              cam_t_m2c=t.tolist(), obj_id=oi + 1))

@@ -9,18 +9,24 @@ scale: hundreds of poses, multiple checkpoints, through the real CLI.
 
 Protocol (all through the user-facing tools — the same path a reference
 user runs):
-  1. build a synthetic BOP set (default 120 images x 4 classes = 480
-     poses; PoseJitter produces the refinement task) and a FLAGSHIP-shape
-     config: 256^2 crops, 8 GRU iterations, SCFlowRefiner;
+  1. build a synthetic BOP set (default 125 images x 8 classes = 1,000
+     poses per checkpoint, 3 of the classes symmetric so the ADD-S
+     NN-matching path, base_dataset.py:378-424, is exercised; PoseJitter
+     produces the refinement task) and a FLAGSHIP-shape config: 256^2
+     crops, 8 GRU iterations, SCFlowRefiner;
   2. `tools/train.py` to the last checkpoint level, saving at each
      requested level (default 1500 and 4500 iters);
   3. per checkpoint, `tools/test.py --eval --out` TWICE: fp32 and
      `--cfg-options model.dtype=bf16` (the serving dtype);
   4. compare the full ADD/REP metric tables (promotion requires every
-     entry's |delta| < 1e-3 = 0.1%) and report per-pose rotation /
-     translation divergence stats (mean/p95/max) — the known caveat is a
-     long worst-case rotation tail on hard samples, which the table-level
-     parity bound tolerates by construction.
+     entry's |delta| < 1e-3 = 0.1%), recompute per-pose ADD(-S) from the
+     --out dicts and count threshold CROSSINGS (poses whose pass/fail
+     flips between dtypes — the per-pose evidence behind an unchanged
+     table), state the table resolution (1/poses-per-class per class
+     entry), and report per-pose rotation / translation divergence stats
+     (mean/p95/max) — the known caveat is a long worst-case rotation tail
+     on hard samples, which the table-level parity bound tolerates by
+     construction.
 
 Writes report JSON + markdown into --root and prints PASS/FAIL.
 """
@@ -47,7 +53,7 @@ apply_env_platform()
 CONFIG_TMPL = '''
 dataset_root = r"{root}"
 CLASS_NAMES = {class_names}
-symmetry_types = {{"cls_2": {{}}}}
+symmetry_types = {sym_types}
 mesh_diameter = {diameters}
 image_scale = 256
 normalize_mean = [0.0, 0.0, 0.0]
@@ -216,6 +222,51 @@ def pose_divergence(out_a, out_b):
     )
 
 
+def per_pose_add(results_path, data_root, verts_by_class, sym_ids):
+    """Per-pose ADD(-S) errors recomputed from the --out result dicts and the
+    synthetic scene_gt (models_eval vertices; ADD-S = gt->pred NN mean for
+    symmetric classes, the reference's eval_pose_error semantics,
+    base_dataset.py:378-424).  Returns aligned [(img_id, label, err), ...]."""
+    results = json.loads(Path(results_path).read_text())
+    scene_gt = json.loads(
+        (Path(data_root) / "train_real" / "000001" / "scene_gt.json").read_text()
+    )
+    errs = []
+    for r in results:
+        img_id = int(Path(r["img_metas"]["img_path"]).stem)
+        gts = {g["obj_id"]: g for g in scene_gt[str(img_id)]}
+        labels = np.asarray(r["pred"]["labels"])
+        Rp = np.asarray(r["pred"]["rotations"], np.float64)
+        tp = np.asarray(r["pred"]["translations"], np.float64)
+        for i, lab in enumerate(labels):
+            g = gts[int(lab) + 1]
+            Rg = np.asarray(g["cam_R_m2c"], np.float64).reshape(3, 3)
+            tg = np.asarray(g["cam_t_m2c"], np.float64)
+            v = verts_by_class[int(lab)]
+            a = v @ Rp[i].T + tp[i]
+            b = v @ Rg.T + tg
+            if int(lab) in sym_ids:
+                e = np.sqrt(((b[:, None] - a[None]) ** 2).sum(-1)).min(1).mean()
+            else:
+                e = np.linalg.norm(a - b, axis=-1).mean()
+            errs.append((img_id, int(lab), float(e)))
+    return errs
+
+
+def threshold_crossings(err_a, err_b, diameters, thresholds):
+    """Count poses whose ADD pass/fail flips between the two dtypes at each
+    threshold — the per-pose evidence behind an unchanged table (a 0.0
+    table delta is exactly 'zero crossings')."""
+    cross = {str(t): 0 for t in thresholds}
+    for (ia, la, ea), (ib, lb, eb) in zip(err_a, err_b):
+        assert (ia, la) == (ib, lb), "result lists misaligned"
+        d = diameters[la]
+        for t in thresholds:
+            if (ea < t * d) != (eb < t * d):
+                cross[str(t)] += 1
+    return cross
+
+
 def latest_eval_json(work_dir):
     evals = sorted(Path(work_dir).glob("eval_*.json"),
                    key=lambda p: p.stat().st_mtime)
@@ -226,8 +277,11 @@ def latest_eval_json(work_dir):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/bf16_parity")
-    p.add_argument("--num-images", type=int, default=120)
-    p.add_argument("--num-class", type=int, default=4)
+    p.add_argument("--num-images", type=int, default=125)
+    p.add_argument("--num-class", type=int, default=8)
+    p.add_argument("--sym-classes", default="2,5,8",
+                   help="1-based class ids treated as symmetric (ADD-S "
+                        "NN-matching path, base_dataset.py:378-424)")
     p.add_argument("--ckpt-levels", default="1500,4500",
                    help="comma-separated train-iter checkpoint levels")
     p.add_argument("--tolerance", type=float, default=1e-3,
@@ -252,14 +306,31 @@ def main():
         (root / "diameters.json").write_text(json.dumps(info["diameters"]))
     diameters = json.loads((root / "diameters.json").read_text())
 
+    sym_1based = [int(x) for x in args.sym_classes.split(",")
+                  if int(x) <= args.num_class]
+    sym_types = {f"cls_{i}": {} for i in sym_1based}
+    sym_ids = {i - 1 for i in sym_1based}  # 0-based labels
+
     cfg_path = root / "cfg.py"
     names = tuple(f"obj_{i}" for i in range(args.num_class))
     cfg_path.write_text(CONFIG_TMPL.format(
         root=data_root, class_names=repr(names), diameters=diameters,
-        num_class=args.num_class, work_dir=work_dir,
+        num_class=args.num_class, work_dir=work_dir, sym_types=repr(sym_types),
         max_iters=max(levels), total_steps=max(levels) + 100,
         ckpt_interval=int(np.gcd.reduce(levels)),
     ))
+
+    # vertex banks for the per-pose ADD recomputation (same synthesis as the
+    # dataset's models_eval plys; capped verts keep ADD-S O(V^2) cheap)
+    from scflow_tpu.render.meshbank import make_synthetic_bank
+
+    bank = make_synthetic_bank(args.num_class, size=60.0)
+    verts_by_class = []
+    for c in range(args.num_class):
+        v = bank.verts[c][bank.vert_valid[c]].astype(np.float64)
+        if len(v) > 400:
+            v = v[np.linspace(0, len(v) - 1, 400).astype(int)]
+        verts_by_class.append(v)
 
     if not args.skip_train:
         run([sys.executable, "tools/train.py", str(cfg_path)])
@@ -285,17 +356,33 @@ def main():
                   for k in table_a if k in table_b}
         worst = max(deltas, key=deltas.get)
         div = pose_divergence(outs["fp32"]["results"], outs["bf16"]["results"])
+        thresholds = (0.05, 0.1, 0.2, 0.5)
+        err_a = per_pose_add(outs["fp32"]["results"], data_root,
+                             verts_by_class, sym_ids)
+        err_b = per_pose_add(outs["bf16"]["results"], data_root,
+                             verts_by_class, sym_ids)
+        cross = threshold_crossings(err_a, err_b, diameters, thresholds)
+        n_poses = len(err_a)
+        n_per_class = n_poses // args.num_class
         entry = dict(
             fp32_table=table_a, bf16_table=table_b,
             max_table_delta=deltas[worst], worst_entry=worst,
             table_entries=len(deltas), divergence=div,
+            threshold_crossings=cross,
+            poses=n_poses,
+            sym_classes_1based=sym_1based,
+            resolution_per_class_entry=1.0 / max(n_per_class, 1),
+            resolution_average_entry=1.0 / max(n_poses, 1),
             passed=deltas[worst] < args.tolerance,
         )
         ok = ok and entry["passed"]
         report["checkpoints"][str(level)] = entry
         print(f"[ckpt {level}] max ADD-table delta {deltas[worst]:.2e} "
               f"({worst}) over {len(deltas)} entries across "
-              f"{div['poses']} poses; rot divergence mean/p95/max "
+              f"{div['poses']} poses; threshold crossings "
+              f"{cross} of {n_poses} poses "
+              f"(entry resolution 1/{n_per_class} per class, "
+              f"1/{n_poses} average); rot divergence mean/p95/max "
               f"{div['rot_mean_deg']:.2f}/{div['rot_p95_deg']:.2f}/"
               f"{div['rot_max_deg']:.2f} deg -> "
               f"{'PASS' if entry['passed'] else 'FAIL'}", flush=True)
