@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Stage split of the EXACT bench.py configuration (batch 64, 2048-face
-sphere bank, 8 GRU iters, scan decoder) — where does each 1/658s go?
+"""Stage split of the EXACT bench.py configuration (batch 64, 1024-face
+uvsphere bank, 8 GRU iters, scan decoder; PROFILE_DTYPE=bf16 matches the
+flagship bench) — where does each refinement's time go?
 
 Methodology note (round 3): on the remote-TPU backend a `device_get` of a
 large output tree rides the tunnel at ~15 MB/s, so any timing window that
@@ -122,22 +123,24 @@ def main():
           f"{timeit(apply_fn, variables, imgs, depths) * 1e3:8.2f} ms",
           flush=True)
 
-    infer = make_scflow_infer_fn(model, ra, image_size=(img, img),
-                                 render_backend=rb, lookup_backend=lb)
     bd = {"real_images": real, "ref_rotations": R, "ref_translations": t,
           "k": K, "labels": labels}
-
-    # bench.py's own sync discipline: fetch one small leaf only
-    for _ in range(2):
-        out = infer(variables, bd)
-    float(np.asarray(jax.device_get(out["rotations"])).sum())
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = infer(variables, bd)
-    float(np.asarray(jax.device_get(out["rotations"])).sum())
-    dt = (time.perf_counter() - t0) / 20
-    print(f"infer end-to-end:   {dt * 1e3:8.2f} ms  "
-          f"({batch / dt:.1f} ref/s)", flush=True)
+    for slim in (False, True):
+        infer = make_scflow_infer_fn(model, ra, image_size=(img, img),
+                                     render_backend=rb, lookup_backend=lb,
+                                     slim=slim)
+        # bench.py's own sync discipline: fetch one small leaf only
+        for _ in range(2):
+            out = infer(variables, bd)
+        float(np.asarray(jax.device_get(out["rotations"])).sum())
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = infer(variables, bd)
+        float(np.asarray(jax.device_get(out["rotations"])).sum())
+        dt = (time.perf_counter() - t0) / 20
+        tag = "slim (bench.py)" if slim else "full"
+        print(f"infer e2e {tag:15s}: {dt * 1e3:8.2f} ms  "
+              f"({batch / dt:.1f} ref/s)", flush=True)
 
 
 if __name__ == "__main__":
