@@ -35,7 +35,7 @@ def _clean_env():
 
 
 def _loss_from(text: str) -> float:
-    m = re.search(r"dryrun_multichip\(\d+\): ok, loss=([0-9.]+)", text)
+    m = re.search(r"dryrun_multichip\(\d+\): train ok, loss=([0-9.]+)", text)
     assert m, f"no loss line in output:\n{text[-2000:]}"
     return float(m.group(1))
 
