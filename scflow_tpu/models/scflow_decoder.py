@@ -221,6 +221,7 @@ class SCFlowDecoder(nn.Module):
     pose_head_cfg: Optional[dict] = None
     dtype: Any = None
     unroll: bool = True
+    scan_unroll: int = 1
     lookup_backend: str = "xla"
 
     @property
@@ -270,11 +271,14 @@ class SCFlowDecoder(nn.Module):
         iters: Optional[int] = None,
         output_sequences: bool = True,
         unroll: Optional[bool] = None,
+        scan_unroll: Optional[int] = None,
         lookup_backend: Optional[str] = None,
         pose_only: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         unroll = self.unroll if unroll is None else unroll
+        scan_unroll = (self.scan_unroll if scan_unroll is None
+                       else scan_unroll)
         scale = 2 ** (self.num_levels - 1)
         n, img_h, img_w = depth.shape
 
@@ -351,12 +355,16 @@ class SCFlowDecoder(nn.Module):
                 for i in range(len(collected[0]))
             )
         else:
+            # scan_unroll > 1 asks lax.scan to unroll that many update
+            # steps per loop body — same semantics, lets XLA fuse across
+            # adjacent iterations (A/B'd on hardware; see PERFORMANCE.md)
             scan_cls = nn.scan(
                 _SCFlowUpdate,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=(nn.broadcast,) * 5,
                 length=iters,
+                unroll=scan_unroll,
             )
             carry, stacked = scan_cls(name="update", **cfg)(
                 carry, pyramid, cxt_feat, lowres, internal_k, label,

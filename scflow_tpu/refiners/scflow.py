@@ -41,6 +41,7 @@ class SCFlowRefiner(nn.Module):
     max_flow: float = 400.0
     dtype: Any = None
     unroll: bool = True
+    scan_unroll: int = 1
 
     def setup(self):
         self.render_encoder = RAFTEncoder(
@@ -84,6 +85,7 @@ class SCFlowRefiner(nn.Module):
             pose_head_cfg=self.pose_head_cfg,
             dtype=self.dtype,
             unroll=self.unroll,
+            scan_unroll=self.scan_unroll,
             name="decoder",
         )
 

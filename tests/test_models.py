@@ -281,6 +281,30 @@ class TestScanDecoder:
             assert d < 1e-4 * gnorm + 1e-3, d
 
 
+class TestScanUnrollFactor:
+    def test_scan_unroll_factor_identical(self, key):
+        """scan_unroll>1 only changes lax.scan's loop-body unroll factor —
+        same param tree, bit-identical outputs (iters=3 with unroll=2
+        exercises the remainder-step path)."""
+        n, H, W = 2, 64, 64
+        depth, K, R, t, label = scene_inputs(n, H, W)
+        imgs = jax.random.normal(key, (n, H, W, 3)) * 0.1
+        kw = dict(
+            iters=3, unroll=False,
+            pose_head_cfg=dict(type="MultiClassPoseHead", num_class=3,
+                               in_channels=224),
+        )
+        m1 = SCFlowRefiner(scan_unroll=1, **kw)
+        m2 = SCFlowRefiner(scan_unroll=2, **kw)
+        v = m1.init(key, imgs, imgs, R, t, depth, K, label)
+        o1 = m1.apply(v, imgs, imgs, R, t, depth, K, label)
+        o2 = m2.apply(v, imgs, imgs, R, t, depth, K, label)
+        for k in o1:
+            np.testing.assert_array_equal(
+                np.asarray(o1[k]), np.asarray(o2[k]), err_msg=k
+            )
+
+
 class TestFusedGRUGates:
     def test_fused_gates_match_unfused(self, key):
         """gru_fuse_gates=True shares the exact parameter tree with the

@@ -34,6 +34,7 @@ def run(batch, dtype, unroll):
     model = SCFlowRefiner(
         iters=iters, detach_depth_for_xy=True,
         gru_fuse_gates=os.environ.get("SWEEP_FUSE_GATES", "0") == "1",
+        scan_unroll=int(os.environ.get("SWEEP_SCAN_UNROLL", "1")),
         dtype=jnp.bfloat16 if dtype == "bf16" else None,
         pose_head_cfg=dict(type="MultiClassPoseHead", num_class=nclass,
                            in_channels=224, rotation_mode="ortho6d"),
