@@ -112,10 +112,16 @@ def main():
     # timed test-time forward returns (scflow_refiner.py:174-179 returns
     # pose/labels/scores; its flow/mask stay internal). The eval CLI runs
     # the same slim path (apis.make_infer_from_cfg(slim=True)).
+    # cull_backfaces: the bench meshes are closed and consistently wound
+    # (like every BOP scan), so backface culling halves live rasterizer
+    # faces with IDENTICAL output maps — verified exactly (tests/
+    # test_pallas_raster.py::test_backface_culling_identical_render and the
+    # on-hardware run recorded in docs/PERFORMANCE.md "Backface culling")
     infer = make_scflow_infer_fn(
         model, render_assets, image_size=(img, img),
         render_backend="pallas" if on_tpu else "xla",
         lookup_backend="pallas" if on_tpu else "xla",
+        render_cull_backfaces=True,
         slim=True,
     )
     bdict = {

@@ -90,6 +90,8 @@ def make_serving_from_cfg(cfg, model, render_assets):
     common = dict(
         image_size=image_size[0], norm_mean=norm_mean, norm_std=norm_std,
         iters=test_cfg.get("iters"),
+        render_cull_backfaces=bool(
+            cfg.model["renderer"].get("cull_backfaces", False)),
     )
     banks = (render_assets.verts, render_assets.vert_valid)
     if cfg.model["type"] == "SCFlowRefiner":
@@ -217,6 +219,10 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
                              image_size=(256, 256)):
     mcfg = cfg.model
     mtype = mcfg["type"]
+    # opt-in raster backface culling (renderer.cull_backfaces): safe only
+    # for closed, consistently-wound meshes (all BOP scans); ~2x less
+    # rasterizer coverage work, output unchanged
+    cull = bool(mcfg.get("renderer", {}).get("cull_backfaces", False))
     if mtype == "SCFlowRefiner":
         pose_lf = mcfg.get("pose_loss_cfg", {}).get("loss_func_cfg", {})
         flow_lf = mcfg.get("flow_loss_cfg", {}).get("loss_func_cfg", {})
@@ -235,6 +241,7 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
             filter_invalid_flow=mcfg.get("filter_invalid_flow", True),
             loss_kwargs=loss_kwargs,
             render_augmentations=mcfg.get("render_augmentations"),
+            render_cull_backfaces=cull,
         )
     flow_lf = mcfg.get("flow_loss_cfg", {}).get("loss_func_cfg", {})
     occ_lf = mcfg.get("occlusion_loss_cfg", {}).get("loss_func_cfg", {})
@@ -247,6 +254,7 @@ def make_train_step_from_cfg(cfg, model, render_assets, loss_assets,
         flow_weight=flow_lf.get("loss_weight", 1.0),
         occlusion_weight=occ_lf.get("loss_weight", 100.0),
         render_augmentations=mcfg.get("render_augmentations"),
+        render_cull_backfaces=cull,
     )
 
 
@@ -261,6 +269,7 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256),
     mcfg = cfg.model
     test_cfg = mcfg.get("test_cfg", {})
     iters = test_cfg.get("iters")
+    cull = bool(mcfg.get("renderer", {}).get("cull_backfaces", False))
     if mcfg["type"] == "SCFlowRefiner":
         cycles = test_cfg.get("cycles", 1)
         if cycles > 1:
@@ -270,12 +279,14 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256),
                 make_scflow_cycled_infer_fn(
                     model, render_assets, cycles=cycles,
                     image_size=image_size, iters=iters, slim=slim,
+                    render_cull_backfaces=cull,
                 ),
                 None,
             )
         return (
             make_scflow_infer_fn(model, render_assets, image_size=image_size,
-                                 iters=iters, slim=slim),
+                                 iters=iters, slim=slim,
+                                 render_cull_backfaces=cull),
             None,
         )
     if test_cfg.get("pnp_backend", "host") == "device":
@@ -301,11 +312,11 @@ def make_infer_from_cfg(cfg, model, render_assets, image_size=(256, 256),
         return (
             make_raft_infer_fn(model, render_assets, image_size=image_size,
                                iters=iters, pnp_backend="device",
-                               pnp_cfg=pnp_cfg),
+                               pnp_cfg=pnp_cfg, render_cull_backfaces=cull),
             None,
         )
     infer = make_raft_infer_fn(model, render_assets, image_size=image_size,
-                               iters=iters)
+                               iters=iters, render_cull_backfaces=cull)
 
     def pose_from_output(out, batch, n):
         R, t, ok = solve_poses_from_flow(

@@ -83,6 +83,7 @@ def render_and_normalize(
     backend: str = "xla",
     augment_fn=None,
     augment_key=None,
+    cull_backfaces: bool = False,
 ):
     """Render at the reference pose and normalize like the data pipeline
     (base_refiner.py:153-166: image/255-space mean/std).  augment_fn
@@ -106,6 +107,7 @@ def render_and_normalize(
         w,
         chunk=chunk,
         backend=backend,
+        cull_backfaces=cull_backfaces,
     )
     images = out["images"]
     if augment_fn is not None:
@@ -125,6 +127,7 @@ def render_depth(
     image_size: Tuple[int, int],
     chunk: int = 64,
     backend: str = "xla",
+    cull_backfaces: bool = False,
 ):
     """Depth map at a pose WITHOUT shading/normalization (e.g. the gt depth
     consumed by filter_flow_by_depth).  On the XLA path this rasterizes
@@ -139,7 +142,7 @@ def render_depth(
             render_assets.face_valid, render_assets.colors,
             render_assets.normals, render_assets.vert_valid,
             rotations, translations, k, labels, h, w,
-            chunk=chunk, backend=backend,
+            chunk=chunk, backend=backend, cull_backfaces=cull_backfaces,
         )
         return out["depths"]
     from scflow_tpu.render.rasterizer import rasterize
@@ -151,7 +154,8 @@ def render_depth(
     verts_cam = (
         jnp.einsum("nij,nvj->nvi", rotations, verts) + translations[:, None]
     )
-    return rasterize(verts_cam, faces, face_valid, k, h, w, chunk).zbuf
+    return rasterize(verts_cam, faces, face_valid, k, h, w, chunk,
+                     cull_backfaces=cull_backfaces).zbuf
 
 
 def scflow_sequence_losses(
@@ -220,6 +224,7 @@ def make_scflow_train_step(
     loss_kwargs: Optional[Dict[str, Any]] = None,
     render_chunk: int = 64,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "xla",
     donate: bool = True,
     render_augmentations: Optional[Any] = None,
@@ -252,6 +257,7 @@ def make_scflow_train_step(
             norm_std,
             chunk=render_chunk,
             backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
             augment_fn=augment_fn,
             augment_key=jax.random.fold_in(
                 jax.random.PRNGKey(augment_seed), state.step
@@ -329,6 +335,7 @@ def make_raft_train_step(
     occlusion_weight: float = 100.0,
     render_chunk: int = 64,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "xla",
     donate: bool = True,
     render_augmentations: Optional[Any] = None,
@@ -346,6 +353,7 @@ def make_raft_train_step(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
             chunk=render_chunk, backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
             augment_fn=augment_fn,
             augment_key=jax.random.fold_in(
                 jax.random.PRNGKey(augment_seed), state.step
@@ -363,6 +371,7 @@ def make_raft_train_step(
                 render_assets, batch["gt_rotations"], batch["gt_translations"],
                 batch["k"], batch["labels"], image_size,
                 chunk=render_chunk, backend=render_backend,
+                cull_backfaces=render_cull_backfaces,
             )
             gt_flow = filter_flow_by_depth(gt_flow, gt_depths, rendered_depths, max_flow)
         # SIGNED component sum, not magnitude — faithful to the reference's
@@ -420,6 +429,7 @@ def make_raft_infer_fn(
     iters: Optional[int] = None,
     render_chunk: int = 64,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
     pnp_backend: str = "host",
     pnp_cfg: Optional[Dict[str, Any]] = None,
@@ -440,6 +450,7 @@ def make_raft_infer_fn(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
             chunk=render_chunk, backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
         )
         out = model.apply(
             variables, rendered_images, batch["real_images"], iters=iters,
@@ -476,6 +487,7 @@ def make_scflow_infer_fn(
     iters: Optional[int] = None,
     render_chunk: int = 64,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
     unroll: bool = False,
     slim: bool = False,
@@ -509,6 +521,7 @@ def make_scflow_infer_fn(
             norm_std,
             chunk=render_chunk,
             backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
         )
         out = model.apply(
             variables,
@@ -549,6 +562,7 @@ def make_raft_val_step(
     max_flow: float = 400.0,
     iters: Optional[int] = None,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
 ):
     """Validation metrics for the flow refiners (reference
@@ -562,6 +576,7 @@ def make_raft_val_step(
             render_assets, batch["ref_rotations"], batch["ref_translations"],
             batch["k"], batch["labels"], image_size, norm_mean, norm_std,
             backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
         )
         out = model.apply(
             variables, rendered_images, batch["real_images"], iters=iters,
@@ -608,6 +623,7 @@ def make_scflow_cycled_infer_fn(
     iters: Optional[int] = None,
     render_chunk: int = 64,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
     unroll: bool = False,
     slim: bool = False,
@@ -631,6 +647,7 @@ def make_scflow_cycled_infer_fn(
                 render_assets, R, t, batch["k"], batch["labels"],
                 image_size, norm_mean, norm_std, chunk=render_chunk,
                 backend=render_backend,
+                cull_backfaces=render_cull_backfaces,
             )
             out = model.apply(
                 variables, rendered_images, batch["real_images"], R, t,

@@ -88,7 +88,8 @@ def _gather_tri(xy, z, faces):
     return tri_xy, tri_z
 
 
-def _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask):
+def _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask,
+                    cull_backfaces=False):
     """Fused min-reduction over faces of packed (z | face_id) keys."""
     f = tri_xy.shape[1]
     a = tri_xy[:, :, :, :, None]  # broadcast against pixels
@@ -103,6 +104,14 @@ def _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask):
     cover = (
         (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & det_ok & front & face_valid[:, :, None]
     )
+    if cull_backfaces:
+        # front faces wind with det < 0 under y-down image coords (see
+        # ops/pallas/rasterize.FRONT_FACE_DET_SIGN); for closed meshes a
+        # backface never wins the z-test, so this only skips dead work
+        det = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        from scflow_tpu.ops.pallas.rasterize import FRONT_FACE_DET_SIGN
+
+        cover = cover & (det * FRONT_FACE_DET_SIGN > 0)
     zbits = jax.lax.bitcast_convert_type(jnp.maximum(zpix, 1e-6), jnp.int32)
     fid_arr = jnp.arange(f, dtype=jnp.int32)[None, :, None]
     packed = (zbits & ~jnp.int32(id_mask)) | fid_arr
@@ -110,7 +119,8 @@ def _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask):
     return jnp.min(packed, axis=1)  # (N, HW)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "chunk", "backend"))
+@partial(jax.jit, static_argnames=("h", "w", "chunk", "backend",
+                                   "cull_backfaces"))
 def rasterize(
     verts_cam: jnp.ndarray,  # (N, V, 3) camera-frame vertices
     faces: jnp.ndarray,  # (N, F, 3)
@@ -120,6 +130,7 @@ def rasterize(
     w: int,
     chunk: Optional[int] = None,  # kept for API compat; unused
     backend: str = "xla",  # 'xla' | 'pallas' (tile-binned TPU kernel)
+    cull_backfaces: bool = False,  # closed consistently-wound meshes only
 ) -> Fragments:
     xy, z = project_to_screen(verts_cam, K)
     n, f, _ = faces.shape
@@ -143,7 +154,8 @@ def rasterize(
         th = 8 if h % 8 == 0 else h
         tw = 128 if w % 128 == 0 else w
         rows, active, perm = jax.lax.optimization_barrier(
-            pack_faces_and_bin(tri_xy, tri_z, face_valid, h, w, th, tw, fcsz)
+            pack_faces_and_bin(tri_xy, tri_z, face_valid, h, w, th, tw, fcsz,
+                               cull_backfaces=cull_backfaces)
         )
         fp = rows.shape[-1]
         id_bits = max(1, math.ceil(math.log2(max(fp, 2))))
@@ -160,7 +172,8 @@ def rasterize(
         id_bits = max(1, math.ceil(math.log2(max(f, 2))))
         id_mask = (1 << id_bits) - 1
         win = jax.lax.optimization_barrier(
-            _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask)
+            _depth_pass_xla(tri_xy, tri_z, face_valid, px, py, id_mask,
+                            cull_backfaces=cull_backfaces)
         )
         background = win == jnp.int32(2**31 - 1)
         fid = jnp.where(background, -1, win & jnp.int32(id_mask))

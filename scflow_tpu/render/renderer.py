@@ -30,6 +30,7 @@ def _render_pallas(
     light_cam, version: int = 3, ambient: float = 0.5, diffuse: float = 0.3,
     specular: float = 0.2,
     background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+    cull_backfaces: bool = False,
 ):
     """Fused raster+shade path: one Pallas kernel produces depth/mask and
     interpolated normal/color maps (no per-pixel gathers); Phong lighting is
@@ -62,7 +63,8 @@ def _render_pallas(
     fc = 128
     if version == 4:
         rows, seg_start, seg_count, ov_counts, ov_order, _ = pack_shaded_exact(
-            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
+            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc,
+            cull_backfaces=cull_backfaces,
         )
         id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
         maps = rasterize_shaded_pallas_v4(
@@ -71,7 +73,8 @@ def _render_pallas(
         )  # (N, 16, H, W)
     else:
         rows, active, perm = pack_shaded_and_bin(
-            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc
+            tri_xy, tri_z, face_valid, corner_attrs, h, w, th, tw, fc,
+            cull_backfaces=cull_backfaces,
         )
         id_bits = max(1, _math.ceil(_math.log2(max(rows.shape[-1], 2))))
         maps = rasterize_shaded_pallas_v3(
@@ -99,7 +102,7 @@ def _render_pallas(
 @partial(jax.jit, static_argnames=(
     "h", "w", "chunk", "flat_shading", "backend", "shading",
     "seperate_lights", "default_lights", "raster_version",
-    "background_color",
+    "background_color", "cull_backfaces",
 ))
 def render_batch(
     bank_verts: jnp.ndarray,  # (C, V, 3)
@@ -122,6 +125,7 @@ def render_batch(
     default_lights: bool = True,
     raster_version: int = 3,  # pallas backend: 3 = chunk-bbox, 4 = exact bin
     background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+    cull_backfaces: bool = False,  # closed consistently-wound meshes only
 ) -> Dict[str, jnp.ndarray]:
     from scflow_tpu.utils.platform import resolve_backend
 
@@ -180,9 +184,11 @@ def render_batch(
             h, w, light_cam, version=raster_version,
             ambient=amb, diffuse=dif, specular=spec,
             background_color=background_color,
+            cull_backfaces=cull_backfaces,
         )
 
-    fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk)
+    fragments = rasterize(verts_cam, faces, face_valid, K, h, w, chunk,
+                          cull_backfaces=cull_backfaces)
     images = shade_phong(
         fragments, faces, verts_cam, normals_cam, colors, light_cam,
         ambient=amb, diffuse=dif, specular=spec,
@@ -208,6 +214,7 @@ class Renderer:
         default_lights: bool = True,
         backend: str = "xla",
         chunk: int = 64,
+        cull_backfaces: bool = False,
         **unused,
     ):
         if bank is None:
@@ -222,6 +229,7 @@ class Renderer:
         self.default_lights = default_lights
         self.backend = backend
         self.chunk = chunk
+        self.cull_backfaces = cull_backfaces
         self._dev = {
             "verts": jnp.asarray(bank.verts),
             "faces": jnp.asarray(bank.faces),
@@ -253,4 +261,5 @@ class Renderer:
             seperate_lights=self.seperate_lights,
             default_lights=self.default_lights,
             background_color=self.background_color,
+            cull_backfaces=self.cull_backfaces,
         )

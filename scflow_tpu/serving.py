@@ -115,6 +115,7 @@ def make_raft_serving_fn(
     margin: float = 1.1,
     iters: Optional[int] = None,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
     pnp_backend: str = "host",
     pnp_cfg=None,
@@ -148,6 +149,7 @@ def make_raft_serving_fn(
             render_assets, ref_rotations, ref_translations, newK, labels,
             (image_size, image_size), norm_mean, norm_std,
             backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
         )
         out = model.apply(
             variables, rendered_images, real_images, iters=iters,
@@ -188,6 +190,7 @@ def make_serving_fn(
     margin: float = 1.1,
     iters: Optional[int] = None,
     render_backend: str = "auto",
+    render_cull_backfaces: bool = False,
     lookup_backend: str = "auto",
     slim: bool = False,
 ):
@@ -217,6 +220,7 @@ def make_serving_fn(
             render_assets, ref_rotations, ref_translations, newK, labels,
             (image_size, image_size), norm_mean, norm_std,
             backend=render_backend,
+            cull_backfaces=render_cull_backfaces,
         )
         out = model.apply(
             variables, rendered_images, real_images, ref_rotations,

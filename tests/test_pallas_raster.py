@@ -239,3 +239,64 @@ def test_pack_sort_modes_agree(scene, monkeypatch):
             8, 128, 128)
     for a, b in zip(outs["payload"], outs["gather"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_backface_culling_identical_render(scene):
+    """Opt-in backface culling (closed, consistently-wound meshes): culled
+    and unculled renders must produce the same maps — a backface can never
+    win the depth test of a closed mesh, so dropping the ~50% back-facing
+    faces only removes dead coverage work.  Checked on the XLA rasterizer
+    (exact) and the v3 shaded kernel in interpret mode."""
+    img = scene["img"]
+    frags = {}
+    for cull in (False, True):
+        frags[cull] = rasterize(
+            scene["verts_cam"], scene["faces"], scene["face_valid"],
+            scene["K"], img, img, backend="xla", cull_backfaces=cull,
+        )
+    assert np.asarray(frags[False].face_id).max() >= 0  # non-empty scene
+    np.testing.assert_array_equal(
+        np.asarray(frags[True].face_id), np.asarray(frags[False].face_id))
+    np.testing.assert_array_equal(
+        np.asarray(frags[True].zbuf), np.asarray(frags[False].zbuf))
+    np.testing.assert_array_equal(
+        np.asarray(frags[True].bary), np.asarray(frags[False].bary))
+
+    xy, z = project_to_screen(scene["verts_cam"], scene["K"])
+    tri_xy, tri_z = _gather_tri(xy, z, scene["faces"])
+    attr6 = jnp.concatenate([scene["normals_cam"], scene["colors"]], axis=-1)
+    corner_attrs = gather_corner_attrs(attr6, scene["faces"])
+    maps = {}
+    for cull in (False, True):
+        rows, active, perm = pack_shaded_and_bin(
+            tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img,
+            8, 128, 128, cull_backfaces=cull)
+        id_bits = max(1, math.ceil(math.log2(max(rows.shape[-1], 2))))
+        m = rasterize_shaded_pallas_v3(
+            rows, active, img, img, th=8, tw=128, fc=128, id_bits=id_bits,
+            interpret=True)
+        # culling changes the sorted face order, so map the winner channel
+        # back to original face ids before comparing
+        fid = np.take_along_axis(
+            np.asarray(perm),
+            np.asarray(m[:, 2]).astype(np.int64).reshape(m.shape[0], -1), 1
+        ).reshape(np.asarray(m[:, 2]).shape)
+        fg = np.asarray(m[:, 1]) > 0.5
+        maps[cull] = (np.asarray(m), np.where(fg, fid, -1))
+    a, fid_a = maps[False]
+    b, fid_b = maps[True]
+    np.testing.assert_array_equal(b[:, 1], a[:, 1])  # mask
+    np.testing.assert_array_equal(b[:, 0], a[:, 0])  # depth
+    np.testing.assert_array_equal(fid_b, fid_a)  # winner faces
+    for ch in range(3, 12):  # normals / colors / barycentrics
+        np.testing.assert_array_equal(b[:, ch], a[:, ch])
+
+    # the point of culling: roughly half the faces leave the pack alive
+    # (rows channel 10 is the sorted valid column)
+    n_live = {}
+    for cull in (False, True):
+        rows, _, _ = pack_shaded_and_bin(
+            tri_xy, tri_z, scene["face_valid"], corner_attrs, img, img,
+            8, 128, 128, cull_backfaces=cull)
+        n_live[cull] = float(np.asarray(rows[:, 10]).sum())
+    assert n_live[True] < 0.65 * n_live[False]
