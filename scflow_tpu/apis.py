@@ -28,6 +28,17 @@ from scflow_tpu.utils.logging import get_logger
 def build_render_assets(model_cfg: Dict) -> Tuple[RenderAssets, MeshBank]:
     rcfg = model_cfg.get("renderer", {})
     bank = MeshBank.from_dir(rcfg["mesh_dir"])
+    if rcfg.get("cull_backfaces"):
+        ok = bank.closed_consistently_wound()
+        if not ok.all():
+            import warnings
+
+            bad = [i for i, v in enumerate(ok) if not v]
+            warnings.warn(
+                f"renderer.cull_backfaces=True but mesh classes {bad} are "
+                "not closed consistently-outward-wound manifolds — culling "
+                "will drop visible geometry for them; disable the key or "
+                "fix the meshes")
     return RenderAssets.from_bank(bank), bank
 
 

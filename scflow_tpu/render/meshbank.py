@@ -80,6 +80,43 @@ class MeshBank:
         return cls.from_meshes(meshes, pad_multiple, class_names=names,
                                diameters=diameters)
 
+    def closed_consistently_wound(self) -> np.ndarray:
+        """Per-class check that backface culling is safe: the mesh is a
+        closed 2-manifold with consistent OUTWARD winding.
+
+        Exact conditions checked per class:
+          1. every directed edge (u, v) of the face list appears exactly
+             once, and its reverse (v, u) also appears — the definition of
+             a closed, consistently-oriented triangle 2-manifold;
+          2. the winding is outward: the divergence-theorem signed volume
+             sum over faces dot(v0, cross(v1, v2))/6 is positive (an
+             inward-wound closed mesh would satisfy (1) but culling would
+             keep the far-side faces and render the back surface).
+
+        Returns a (C,) bool array.  `Renderer`/`build_render_assets` warn
+        when `cull_backfaces` is enabled for a bank that fails this.
+        """
+        out = []
+        for i in range(self.num_class):
+            f = self.faces[i][self.face_valid[i]].astype(np.int64)
+            if len(f) == 0:
+                out.append(False)
+                continue
+            edges = np.concatenate(
+                [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+            vmax = int(edges.max()) + 1
+            keys = edges[:, 0] * vmax + edges[:, 1]
+            rkeys = edges[:, 1] * vmax + edges[:, 0]
+            unique = len(np.unique(keys)) == len(keys)
+            closed = unique and bool(np.isin(rkeys, keys).all())
+            v = self.verts[i]
+            tri = v[f]  # (F, 3, 3)
+            vol = np.einsum(
+                "fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])
+            ).sum() / 6.0
+            out.append(closed and vol > 0)
+        return np.asarray(out, bool)
+
     def subsample(self, max_verts: int, seed: int = 0) -> "MeshBank":
         """Vertex-bank subsample for losses (keeps full faces invalid);
         used where the reference loads models_eval vertices only."""

@@ -230,6 +230,17 @@ class Renderer:
         self.backend = backend
         self.chunk = chunk
         self.cull_backfaces = cull_backfaces
+        if cull_backfaces:
+            ok = bank.closed_consistently_wound()
+            if not ok.all():
+                import warnings
+
+                bad = [i for i, v in enumerate(ok) if not v]
+                warnings.warn(
+                    f"cull_backfaces=True but mesh classes {bad} are not "
+                    "closed consistently-outward-wound manifolds — culling "
+                    "will drop visible geometry for them; disable "
+                    "cull_backfaces or fix the meshes")
         self._dev = {
             "verts": jnp.asarray(bank.verts),
             "faces": jnp.asarray(bank.faces),

@@ -215,3 +215,33 @@ class TestRenderer:
         R1 = Rotation.from_euler("xyz", [30, 40, 10], degrees=True).as_matrix()
         img1 = np.asarray(renderer(R1[None].astype(np.float32), t, K, np.array([0]))["images"])
         assert np.abs(img0 - img1).max() > 0.05
+
+
+class TestWindingCheck:
+    def test_synthetic_banks_pass(self):
+        for kind in ("uvsphere", "cube"):
+            bank = make_synthetic_bank(2, kind=kind)
+            assert bank.closed_consistently_wound().all(), kind
+
+    def test_flipped_and_open_fail(self):
+        bank = make_synthetic_bank(1, kind="uvsphere")
+        bank.faces = bank.faces[:, :, ::-1].copy()  # inward winding
+        assert not bank.closed_consistently_wound().any()
+        bank2 = make_synthetic_bank(1, kind="cube")
+        bank2.face_valid[0, 0] = False  # open surface
+        assert not bank2.closed_consistently_wound().any()
+
+    def test_renderer_warns_on_unsafe_cull(self):
+        import warnings
+
+        bank = make_synthetic_bank(1, kind="uvsphere")
+        bank.faces = bank.faces[:, :, ::-1].copy()
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            Renderer(bank=bank, image_size=(64, 64), cull_backfaces=True)
+        assert any("cull_backfaces" in str(w.message) for w in rec)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            Renderer(bank=make_synthetic_bank(1, kind="uvsphere"),
+                     image_size=(64, 64), cull_backfaces=True)
+        assert not any("cull_backfaces" in str(w.message) for w in rec)

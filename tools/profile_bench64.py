@@ -99,9 +99,11 @@ def main():
     rb = "pallas" if on_tpu else "xla"
     lb = "pallas" if on_tpu else "xla"
 
+    cull = os.environ.get("PROFILE_CULL", "1") == "1"  # bench.py default
     rn = functools.partial(
         render_and_normalize, ra, image_size=(img, img),
-        norm_mean=(0.0, 0.0, 0.0), norm_std=(255.0,) * 3, backend=rb)
+        norm_mean=(0.0, 0.0, 0.0), norm_std=(255.0,) * 3, backend=rb,
+        cull_backfaces=cull)
     print(f"render+norm:        "
           f"{timeit(jax.jit(scalarize(rn)), R, t, K, labels) * 1e3:8.2f} ms",
           flush=True)
@@ -128,7 +130,7 @@ def main():
     for slim in (False, True):
         infer = make_scflow_infer_fn(model, ra, image_size=(img, img),
                                      render_backend=rb, lookup_backend=lb,
-                                     slim=slim)
+                                     render_cull_backfaces=cull, slim=slim)
         # bench.py's own sync discipline: fetch one small leaf only
         for _ in range(2):
             out = infer(variables, bd)
