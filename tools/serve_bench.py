@@ -92,9 +92,13 @@ def main():
     )
     # slim=True matches the shipped service configuration (PoseService
     # fetches poses only; apis.make_serving_from_cfg builds slim)
+    # cull_backfaces matches the flagship bench: the synthetic bank is
+    # closed/outward-wound (bank.closed_consistently_wound()), so culling
+    # is output-identical (docs/PERFORMANCE.md "Backface culling")
     serve = make_serving_fn(
         model, ra, ra.verts, ra.vert_valid, image_size=args.img,
         render_backend=backend, iters=args.iters, slim=True,
+        render_cull_backfaces=True,
     )
 
     with mesh:
