@@ -173,5 +173,13 @@ model = dict(
         faces_per_pixel=1,
         blur_radius=0.0,
         background_color=(0.5, 0.5, 0.5),
+        # Backface culling: ~2x fewer live rasterizer faces with exactly
+        # identical output maps for closed, consistently-outward-wound
+        # meshes — every BOP scan qualifies, and build_render_assets
+        # verifies it at startup (ValueError on failure; set to False for
+        # open/non-manifold meshes, or 'force' to override the check for
+        # meshes you know are camera-safe).  Measured +3.7% end-to-end on
+        # the flagship bench (docs/PERFORMANCE.md "Backface culling").
+        cull_backfaces=True,
     ),
 )

@@ -26,19 +26,14 @@ from scflow_tpu.utils.logging import get_logger
 
 
 def build_render_assets(model_cfg: Dict) -> Tuple[RenderAssets, MeshBank]:
+    from scflow_tpu.render.meshbank import resolve_cull_backfaces
+
     rcfg = model_cfg.get("renderer", {})
     bank = MeshBank.from_dir(rcfg["mesh_dir"])
-    if rcfg.get("cull_backfaces"):
-        ok = bank.closed_consistently_wound()
-        if not ok.all():
-            import warnings
-
-            bad = [i for i, v in enumerate(ok) if not v]
-            warnings.warn(
-                f"renderer.cull_backfaces=True but mesh classes {bad} are "
-                "not closed consistently-outward-wound manifolds — culling "
-                "will drop visible geometry for them; disable the key or "
-                "fix the meshes")
+    # cull_backfaces=True refuses to proceed on meshes that fail the
+    # winding-safety check (a warning is too easy to miss for a silent
+    # geometry-dropping failure); 'force' downgrades to a warning
+    resolve_cull_backfaces(bank, rcfg.get("cull_backfaces"))
     return RenderAssets.from_bank(bank), bank
 
 
@@ -97,12 +92,12 @@ def make_serving_from_cfg(cfg, model, render_assets):
 
     norm_mean, norm_std = norm_stats_from_cfg(cfg)
     test_cfg = cfg.model.get("test_cfg", {})
-    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    rcfg = cfg.model.get("renderer", {})
+    image_size = tuple(rcfg.get("image_size", (256, 256)))
     common = dict(
         image_size=image_size[0], norm_mean=norm_mean, norm_std=norm_std,
         iters=test_cfg.get("iters"),
-        render_cull_backfaces=bool(
-            cfg.model["renderer"].get("cull_backfaces", False)),
+        render_cull_backfaces=bool(rcfg.get("cull_backfaces", False)),
     )
     banks = (render_assets.verts, render_assets.vert_valid)
     if cfg.model["type"] == "SCFlowRefiner":

@@ -88,8 +88,15 @@ class ConvModule(nn.Module):
             name="conv",
         )(x)
         if self.norm == "BN":
+            # dtype: keep the module's compute dtype through the norm — flax
+            # computes the statistics in fp32 regardless (normalization.
+            # _compute_stats "always at least float32"), so only the affine
+            # output math runs reduced; without this the BN output silently
+            # promotes to fp32 and every bf16 consumer pays a cast + the
+            # fp32 elementwise bandwidth
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="norm"
             )(x)
         elif self.norm == "IN":
             x = InstanceNorm(name="norm")(x)

@@ -559,7 +559,14 @@ def _face_plane_coeffs(tri_xy, tri_z, face_valid, cull_backfaces=False):
     face, see FRONT_FACE_DET_SIGN).  For closed, consistently-wound meshes
     a backface can never win the depth test, so culling only removes dead
     coverage work (~2x fewer live faces); correctness for open or
-    inconsistently-wound meshes is NOT preserved — opt-in."""
+    inconsistently-wound meshes is NOT preserved — opt-in.  The identity
+    ALSO assumes the camera is outside the mesh and the mesh clears the
+    near plane: if front faces are dropped by the near-plane test above
+    (min corner z <= 1e-6) or the camera sits inside the surface, the
+    backfaces behind them become visible and culling would remove them.
+    BOP-style object rendering (object wholly in front of the camera)
+    satisfies this; `render/meshbank.resolve_cull_backfaces` documents the
+    same caveat at the config surface."""
     ax, ay = tri_xy[:, :, 0, 0], tri_xy[:, :, 0, 1]
     bx, by = tri_xy[:, :, 1, 0], tri_xy[:, :, 1, 1]
     ccx, ccy = tri_xy[:, :, 2, 0], tri_xy[:, :, 2, 1]

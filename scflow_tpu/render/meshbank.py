@@ -93,13 +93,33 @@ class MeshBank:
              inward-wound closed mesh would satisfy (1) but culling would
              keep the far-side faces and render the back surface).
 
-        Returns a (C,) bool array.  `Renderer`/`build_render_assets` warn
-        when `cull_backfaces` is enabled for a bank that fails this.
+        Seam-split vertices (duplicate positions for per-vertex normals/
+        UVs, common in real scan PLYs) are welded by exact position before
+        the edge matching, so a geometrically closed mesh with topological
+        seams still passes; vertices that differ by any nonzero amount are
+        NOT merged (a tolerance could false-merge near-coincident but
+        distinct geometry, which would wrongly bless culling).
+
+        Returns a (C,) bool array.  `Renderer`/`build_render_assets` REFUSE
+        (ValueError) when `cull_backfaces=True` for a bank that fails this;
+        `cull_backfaces='force'` downgrades the refusal to a warning.
         """
         out = []
         for i in range(self.num_class):
             f = self.faces[i][self.face_valid[i]].astype(np.int64)
             if len(f) == 0:
+                out.append(False)
+                continue
+            # weld: remap each face corner to the canonical index of its
+            # exact position, so seams don't break directed-edge pairing
+            uverts, canon = np.unique(
+                self.verts[i], axis=0, return_inverse=True)
+            f = canon[f]
+            # welding can surface degenerate slivers (two corners at one
+            # position); they have no area and cannot pair consistently
+            degen = ((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2])
+                     | (f[:, 2] == f[:, 0]))
+            if degen.any():
                 out.append(False)
                 continue
             edges = np.concatenate(
@@ -109,8 +129,7 @@ class MeshBank:
             rkeys = edges[:, 1] * vmax + edges[:, 0]
             unique = len(np.unique(keys)) == len(keys)
             closed = unique and bool(np.isin(rkeys, keys).all())
-            v = self.verts[i]
-            tri = v[f]  # (F, 3, 3)
+            tri = uverts[f]  # (F, 3, 3)
             vol = np.einsum(
                 "fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])
             ).sum() / 6.0
@@ -137,6 +156,46 @@ class MeshBank:
             np.zeros_like(verts), valid, np.zeros((c, 1), bool),
             self.diameters, self.class_names,
         )
+
+
+def resolve_cull_backfaces(bank: "MeshBank", setting) -> bool:
+    """Gate a `cull_backfaces` config value behind the winding-safety check.
+
+    setting semantics:
+      - falsy            -> culling off, no check;
+      - True             -> run `closed_consistently_wound`; any failing
+                            class raises ValueError (culling would silently
+                            drop visible geometry for it — a long training
+                            run must not proceed on a missed warning);
+      - 'force'          -> culling on regardless; the check still runs and
+                            failures downgrade to a warning (for meshes the
+                            user KNOWS are camera-safe despite failing the
+                            conservative manifold test).
+
+    Additional assumption either way (documented, not checkable from the
+    mesh alone): the camera stays OUTSIDE the mesh and the mesh does not
+    straddle the near plane — a closed mesh whose front faces are dropped
+    by the near-plane test (min corner z <= 1e-6) would expose backfaces
+    that culling removes.  BOP-style object rendering (object fully in
+    front of the camera) always satisfies this.
+    """
+    if not setting:
+        return False
+    ok = bank.closed_consistently_wound()
+    if ok.all():
+        return True
+    bad = [i for i, v in enumerate(ok) if not v]
+    msg = (
+        f"cull_backfaces enabled but mesh classes {bad} are not closed "
+        "consistently-outward-wound manifolds — culling would drop visible "
+        "geometry for them. Disable cull_backfaces, fix the meshes, or set "
+        "cull_backfaces='force' if you know these meshes are safe.")
+    if setting == "force":
+        import warnings
+
+        warnings.warn(msg)
+        return True
+    raise ValueError(msg)
 
 
 def _subdivide(verts: np.ndarray, faces: np.ndarray):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scflow_tpu.render.meshbank import MeshBank
+from scflow_tpu.render.meshbank import MeshBank, resolve_cull_backfaces
 from scflow_tpu.render.rasterizer import rasterize
 from scflow_tpu.render.shading import shade_phong
 
@@ -229,18 +229,9 @@ class Renderer:
         self.default_lights = default_lights
         self.backend = backend
         self.chunk = chunk
-        self.cull_backfaces = cull_backfaces
-        if cull_backfaces:
-            ok = bank.closed_consistently_wound()
-            if not ok.all():
-                import warnings
-
-                bad = [i for i, v in enumerate(ok) if not v]
-                warnings.warn(
-                    f"cull_backfaces=True but mesh classes {bad} are not "
-                    "closed consistently-outward-wound manifolds — culling "
-                    "will drop visible geometry for them; disable "
-                    "cull_backfaces or fix the meshes")
+        # True -> winding-safety check, ValueError on failure; 'force' ->
+        # warn-and-proceed (see meshbank.resolve_cull_backfaces)
+        self.cull_backfaces = resolve_cull_backfaces(bank, cull_backfaces)
         self._dev = {
             "verts": jnp.asarray(bank.verts),
             "faces": jnp.asarray(bank.faces),

@@ -231,17 +231,51 @@ class TestWindingCheck:
         bank2.face_valid[0, 0] = False  # open surface
         assert not bank2.closed_consistently_wound().any()
 
-    def test_renderer_warns_on_unsafe_cull(self):
+    def test_seam_split_vertices_welded(self):
+        """Geometrically closed meshes with seam-split vertices (duplicate
+        positions for per-vertex normals/UVs — common in real scan PLYs)
+        must still pass: edges are matched by welded position."""
+        bank = make_synthetic_bank(1, kind="uvsphere")
+        f = bank.faces[0].copy()
+        v = bank.verts[0]
+        nv = int(bank.vert_valid[0].sum())
+        # split vertex 5: faces using it via corner 0 keep index 5, the
+        # rest point at a duplicate position appended at nv
+        dup_of = 5
+        grew = np.concatenate([v[:nv], v[dup_of][None]], axis=0)
+        uses = f == dup_of
+        uses[:, 0] = False
+        f = np.where(uses, nv, f)
+        import dataclasses
+
+        bank2 = dataclasses.replace(
+            bank,
+            verts=grew[None].astype(np.float32),
+            faces=f[None],
+            colors=np.full_like(grew[None], 0.7),
+            normals=np.zeros_like(grew[None]),
+            vert_valid=np.ones((1, len(grew)), bool),
+        )
+        assert bank2.closed_consistently_wound().all()
+
+    def test_unsafe_cull_raises_and_force_warns(self):
         import warnings
+
+        import pytest
 
         bank = make_synthetic_bank(1, kind="uvsphere")
         bank.faces = bank.faces[:, :, ::-1].copy()
-        with warnings.catch_warnings(record=True) as rec:
-            warnings.simplefilter("always")
+        with pytest.raises(ValueError, match="cull_backfaces"):
             Renderer(bank=bank, image_size=(64, 64), cull_backfaces=True)
-        assert any("cull_backfaces" in str(w.message) for w in rec)
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            Renderer(bank=make_synthetic_bank(1, kind="uvsphere"),
-                     image_size=(64, 64), cull_backfaces=True)
+            r = Renderer(bank=bank, image_size=(64, 64),
+                         cull_backfaces="force")
+        assert any("cull_backfaces" in str(w.message) for w in rec)
+        assert r.cull_backfaces is True
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            r = Renderer(bank=make_synthetic_bank(1, kind="uvsphere"),
+                         image_size=(64, 64), cull_backfaces=True)
         assert not any("cull_backfaces" in str(w.message) for w in rec)
+        assert r.cull_backfaces is True

@@ -95,6 +95,49 @@ class TestModelConfigs:
         assert metric, "evaluation.metric missing"
 
 
+def test_shipped_cull_backfaces_end_to_end(tmp_path):
+    """The shipped configs enable renderer.cull_backfaces; the asset
+    builder must run the winding-safety check on the real mesh files and
+    the infer builder must pick the flag up — and an unsafe bank on disk
+    must refuse loudly instead of silently dropping geometry."""
+    from scflow_tpu.apis import build_render_assets, make_infer_from_cfg
+    from scflow_tpu.refiners import build_refiner_from_config
+    from scflow_tpu.render.meshbank import make_synthetic_bank
+    from tests.synthetic_bop import write_ply
+
+    cfg = Config.fromfile(
+        os.path.join(REPO, "configs", "refine_models", "scflow.py"))
+    assert cfg.model["renderer"]["cull_backfaces"] is True
+
+    bank = make_synthetic_bank(1, kind="uvsphere", size=60.0)
+    v = bank.verts[0][bank.vert_valid[0]]
+    f = bank.faces[0][bank.face_valid[0]]
+    good, bad = tmp_path / "good", tmp_path / "bad"
+    good.mkdir(), bad.mkdir()
+    write_ply(good / "obj_000001.ply", v, f, bank.colors[0][: len(v)])
+    write_ply(bad / "obj_000001.ply", v, f[:, ::-1],  # inward winding
+              bank.colors[0][: len(v)])
+
+    cfg.model["renderer"]["mesh_dir"] = str(good)
+    render_assets, _ = build_render_assets(cfg.model)
+    infer, _ = make_infer_from_cfg(cfg, build_refiner_from_config(cfg.model),
+                                   render_assets, image_size=(64, 64),
+                                   slim=True)
+    assert infer is not None  # built with cull resolved True
+
+    cfg.model["renderer"]["mesh_dir"] = str(bad)
+    with pytest.raises(ValueError, match="cull_backfaces"):
+        build_render_assets(cfg.model)
+    # 'force' override: warn-and-proceed
+    cfg.model["renderer"]["cull_backfaces"] = "force"
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        build_render_assets(cfg.model)
+    assert any("cull_backfaces" in str(w.message) for w in rec)
+
+
 @pytest.mark.parametrize("name", DATASET_CFGS)
 def test_dataset_config_parses(name):
     cfg = Config.fromfile(

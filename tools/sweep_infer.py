@@ -2,7 +2,11 @@
 """Inference throughput sweep over batch size / loop mode / dtype for the
 exact bench.py graph. Env: SWEEP_BATCHES=64,96,128 SWEEP_DTYPE=bf16
 SWEEP_UNROLL=0|1 SWEEP_SLIM=0|1 SWEEP_LOOKUP=pallas|xla
-SWEEP_FUSE_GATES=0|1 (ConvGRU z/r gates in one conv dispatch)."""
+SWEEP_FUSE_GATES=0|1 (ConvGRU z/r gates in one conv dispatch)
+SWEEP_CULL=0|1 (backface culling, the flagship bench default)
+SWEEP_SCAN_UNROLL=N (lax.scan unroll factor when SWEEP_UNROLL=0)
+SWEEP_ITERS=N (GRU iterations; sweep {1,2,4,8} for the recurrence's
+marginal per-iteration cost = slope of ms vs iters)."""
 
 import os
 import sys
@@ -28,7 +32,8 @@ from scflow_tpu.render.meshbank import make_synthetic_bank
 
 
 def run(batch, dtype, unroll):
-    img, iters, nclass = 256, 8, 21
+    img, nclass = 256, 21
+    iters = int(os.environ.get("SWEEP_ITERS", "8"))
     bank = make_synthetic_bank(nclass, kind="uvsphere", size=80.0)
     ra = RenderAssets.from_bank(bank)
     model = SCFlowRefiner(
@@ -61,6 +66,7 @@ def run(batch, dtype, unroll):
         model, ra, image_size=(img, img),
         render_backend="pallas" if on_tpu else "xla",
         lookup_backend=lookup,
+        render_cull_backfaces=os.environ.get("SWEEP_CULL", "0") == "1",
         unroll=unroll, slim=slim)
     bd = {"real_images": real, "ref_rotations": R, "ref_translations": t,
           "k": K, "labels": labels}
@@ -72,7 +78,10 @@ def run(batch, dtype, unroll):
         out = infer(variables, bd)
     float(np.asarray(jax.device_get(out["rotations"])).sum())
     dt = time.perf_counter() - t0
-    print(f"batch={batch:4d} dtype={dtype} unroll={unroll}: "
+    su = os.environ.get("SWEEP_SCAN_UNROLL", "1")
+    cull = os.environ.get("SWEEP_CULL", "0")
+    print(f"batch={batch:4d} dtype={dtype} unroll={unroll} "
+          f"scan_unroll={su} cull={cull} iters={iters}: "
           f"{batch * n / dt:7.1f} ref/s ({dt / n * 1e3:6.2f} ms)", flush=True)
 
 
