@@ -356,8 +356,11 @@ class SCFlowDecoder(nn.Module):
             )
         else:
             # scan_unroll > 1 asks lax.scan to unroll that many update
-            # steps per loop body — same semantics, lets XLA fuse across
-            # adjacent iterations (A/B'd on hardware; see PERFORMANCE.md)
+            # steps per loop body — same semantics.  A/B'd on v5e at the
+            # flagship shapes: factors 2/4/8 all LOSE ~7% vs 1 (the body is
+            # already one fused region per iteration, and the larger body
+            # schedules worse — docs/PERFORMANCE.md "scan_unroll A/B");
+            # keep 1 unless re-measured on other shapes/hardware
             scan_cls = nn.scan(
                 _SCFlowUpdate,
                 variable_broadcast="params",
