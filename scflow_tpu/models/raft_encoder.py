@@ -18,19 +18,26 @@ from scflow_tpu.registry import ENCODERS
 
 class _Norm(nn.Module):
     kind: Optional[str]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind is None:
             return x
         if self.kind == "BN":
+            # dtype keeps the compute dtype through the norm (stats are
+            # fp32 in flax regardless); without it a bf16 encoder's BN
+            # outputs promote to fp32 and every consumer pays a cast —
+            # see the same note in models/layers.ConvModule
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="n"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="n"
             )(x)
         if self.kind == "IN":
             return InstanceNorm(name="n")(x)
         if self.kind == "GN":
-            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="n")(x)
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                dtype=self.dtype, name="n")(x)
         raise ValueError(self.kind)
 
 
@@ -51,10 +58,10 @@ def _downsample_branch(x, out_ch, stride, norm, avg_down, dtype, train):
                         padding=((0, ph), (0, pw)), count_include_pad=False)
         x = nn.Conv(out_ch, (1, 1), use_bias=True, dtype=dtype,
                     name="avgdown_conv")(x)
-        return _Norm(norm, name="avgdown_norm")(x, train)
+        return _Norm(norm, dtype=dtype, name="avgdown_norm")(x, train)
     x = nn.Conv(out_ch, (1, 1), strides=(stride, stride), use_bias=True,
                 dtype=dtype, name="downsample_conv")(x)
-    return _Norm(norm, name="downsample_norm")(x, train)
+    return _Norm(norm, dtype=dtype, name="downsample_norm")(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -76,16 +83,16 @@ class Bottleneck(nn.Module):
         d = self.dilation
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = _Norm(self.norm, name="norm1")(out, train)
+        out = _Norm(self.norm, dtype=self.dtype, name="norm1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=((d, d), (d, d)), kernel_dilation=(d, d),
                       use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = _Norm(self.norm, name="norm2")(out, train)
+        out = _Norm(self.norm, dtype=self.dtype, name="norm2")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
-        out = _Norm(self.norm, name="norm3")(out, train)
+        out = _Norm(self.norm, dtype=self.dtype, name="norm3")(out, train)
         if self.with_downsample:
             identity = _downsample_branch(
                 x, self.planes * self.expansion, self.stride, self.norm,
@@ -117,13 +124,13 @@ class BasicBlock(nn.Module):
             padding=((d, d), (d, d)), kernel_dilation=(d, d), use_bias=True,
             dtype=self.dtype, name="conv1",
         )(x)
-        out = _Norm(self.norm, name="norm1")(out, train)
+        out = _Norm(self.norm, dtype=self.dtype, name="norm1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
             dtype=self.dtype, name="conv2",
         )(out)
-        out = _Norm(self.norm, name="norm2")(out, train)
+        out = _Norm(self.norm, dtype=self.dtype, name="norm2")(out, train)
         if self.with_downsample:
             identity = _downsample_branch(
                 x, self.planes, self.stride, self.norm, self.avg_down,
@@ -160,7 +167,7 @@ class RAFTEncoder(nn.Module):
             padding=((3, 3), (3, 3)), use_bias=True, dtype=self.dtype,
             name="stem_conv",
         )(x)
-        x = _Norm(self.norm, name="stem_norm")(x, train)
+        x = _Norm(self.norm, dtype=self.dtype, name="stem_norm")(x, train)
         x = nn.relu(x)
 
         inplanes = stem_ch

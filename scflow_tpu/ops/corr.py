@@ -212,9 +212,16 @@ def corr_lookup_dispatch(
     ):
         backend = "xla"  # the fused kernel's index math assumes square maps
     if backend == "pallas":
+        import os
+
         from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas_diff
 
-        return corr_lookup_pallas_diff(tuple(pyramid), flow, radius)
+        # experiment knobs (docs/PERFORMANCE.md "corr lookup kernel"):
+        # SCFLOW_LOOKUP_BB row-block size, SCFLOW_LOOKUP_VARIANT tent|shift
+        bb = int(os.environ.get("SCFLOW_LOOKUP_BB", "256"))
+        variant = os.environ.get("SCFLOW_LOOKUP_VARIANT", "tent")
+        return corr_lookup_pallas_diff(tuple(pyramid), flow, radius, bb,
+                                       False, variant)
     if backend == "xla":
         # accept flat (B, Hl*Wl) levels too (correlation_pyramid_flat), so
         # the dispatch is layout-agnostic regardless of which backend built

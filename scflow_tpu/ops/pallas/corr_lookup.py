@@ -38,6 +38,89 @@ def _tent(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+def _kernel_shift(coords_ref, *refs, sizes, radius: int, bb: int):
+    """One-hot shifted-row variant of `_kernel` (same output contract).
+
+    The tent weight has exactly two nonzeros (floor/ceil of the sample
+    line), so instead of k dense tent-multiplies over the whole map per
+    pass, extract the k+1 INTEGER rows the window touches with exact 0/1
+    one-hot multiplies (2 VPU ops each vs ~5 for tent), then blend
+    adjacent rows with the shared fractional weight — the standard
+    bilinear identity lookup(py + i) = (1-fy)·m[y0+i] + fy·m[y0+i+1].
+    Less than half the VPU work of the tent kernel on the dominant
+    level-0 pass, and numerically EXACT bilinear: the one-hot dot picks
+    a single row (no accumulation rounding), and only the final 2-term
+    blend rounds in f32.  Out-of-range rows match grid_sample
+    zeros-padding (no one-hot match -> zero row).
+    """
+    m_refs = refs[:-1]
+    out_ref = refs[-1]
+    k = 2 * radius + 1
+    cx = coords_ref[:, 0:1]  # (BB, 1)
+    cy = coords_ref[:, 1:2]
+
+    outs = []
+    for lvl, (m_ref, s) in enumerate(zip(m_refs, sizes)):
+        inv = 1.0 / 2.0**lvl
+        px = cx * inv
+        py = cy * inv
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0  # (BB, 1) in [0, 1)
+        fy = py - y0
+        # pass 1 stays in the map's storage dtype: the one-hot selection
+        # has no products and a single nonzero per output column, so a
+        # bf16 map loses NOTHING (the dot's f32 accumulator receives the
+        # exact bf16 values) while the 10 LHS temps halve in VMEM traffic
+        # and the dots run native single-pass bf16 on the MXU
+        m = m_ref[...]  # (BB, S*S)
+        ss = s * s
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (1, ss), 1)
+        hidx = (lidx // s).astype(jnp.float32)  # (1, SS)
+        g1 = (
+            jax.lax.broadcasted_iota(jnp.int32, (ss, s), 0) % s
+            == jax.lax.broadcasted_iota(jnp.int32, (ss, s), 1)
+        ).astype(m.dtype)
+        ks = k * s
+        g2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (ks, k), 0) // s
+            == jax.lax.broadcasted_iota(jnp.int32, (ks, k), 1)
+        ).astype(jnp.float32)
+        l2w = jax.lax.broadcasted_iota(jnp.int32, (1, ks), 1) % s
+        l2w = l2w.astype(jnp.float32)
+
+        # pass 1: integer rows V_d[b, w] = m[b, y0+d, w], d = -r .. r+1
+        zero = jnp.zeros_like(m)
+        vs = []
+        for d in range(-radius, radius + 2):
+            sel = jnp.where(hidx == y0 + d, m, zero)  # (BB, SS), m dtype
+            vs.append(
+                jax.lax.dot_general(
+                    sel, g1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (BB, S) f32
+        one_m_fy = 1.0 - fy
+        tmp = jnp.concatenate(
+            [one_m_fy * vs[i] + fy * vs[i + 1] for i in range(k)], axis=-1
+        )  # (BB, k*S), columns i*S + w
+
+        # pass 2: integer columns U_d[b, i] = tmp[b, i*S + x0+d]
+        us = []
+        for d in range(-radius, radius + 2):
+            selx = jnp.where(l2w == x0 + d, tmp, 0.0)  # (BB, k*S)
+            us.append(
+                jax.lax.dot_general(
+                    selx, g2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (BB, k)
+        one_m_fx = 1.0 - fx
+        for j in range(k):
+            outs.append(one_m_fx * us[j] + fx * us[j + 1])  # (BB, k)
+    out_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
 def _kernel(coords_ref, *refs, sizes, radius: int, bb: int):
     m_refs = refs[:-1]
     out_ref = refs[-1]
@@ -91,13 +174,15 @@ def _kernel(coords_ref, *refs, sizes, radius: int, bb: int):
     out_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "bb", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("radius", "bb", "interpret", "variant"))
 def corr_lookup_pallas_flat(
     pyramid_flat: Sequence[jnp.ndarray],  # level l: (B, Sl*Sl)
     coords: jnp.ndarray,  # (B, 2) float32 full-scale window centers (x, y)
     radius: int = 4,
     bb: int = 256,
     interpret: bool = False,
+    variant: str = "tent",  # 'tent' (default, fastest measured) | 'shift'
 ) -> jnp.ndarray:
     """Returns (B, L*(2r+1)^2) f32, level-major, tap index j*k+i (j offsets
     x, i offsets y — reference tap-order parity, see ops/corr.py)."""
@@ -111,7 +196,9 @@ def corr_lookup_pallas_flat(
     n_out = len(pyramid_flat) * k * k
     assert b % bb == 0, (b, bb)
     grid = (b // bb,)
-    kern = functools.partial(_kernel, sizes=tuple(sizes), radius=radius, bb=bb)
+    kern = functools.partial(
+        _kernel_shift if variant == "shift" else _kernel,
+        sizes=tuple(sizes), radius=radius, bb=bb)
     in_specs = [pl.BlockSpec((bb, 2), lambda i: (i, 0))]
     in_specs += [
         pl.BlockSpec((bb, m.shape[1]), lambda i: (i, 0)) for m in pyramid_flat
@@ -126,28 +213,30 @@ def corr_lookup_pallas_flat(
     )(coords, *pyramid_flat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def corr_lookup_pallas_diff(
     pyramid: tuple,  # level l: (N*H*W, Sl, Sl, 1)
     flow: jnp.ndarray,  # (N, H, W, 2)
     radius: int = 4,
     bb: int = 256,
     interpret: bool = False,
+    variant: str = "tent",
 ) -> jnp.ndarray:
     """Differentiable wrapper: Pallas kernel forward, XLA tent-formulation
     backward (the kernel itself has no transpose rule).  Gradients match
     the autodiff of ops.corr.corr_lookup: tent subgradient 0 at the kinks,
     per-level 1/2^l chain factor onto the flow."""
     return corr_lookup_pallas(list(pyramid), flow, radius, bb=bb,
-                              interpret=interpret)
+                              interpret=interpret, variant=variant)
 
 
-def _lookup_fwd(pyramid, flow, radius, bb, interpret):
-    out = corr_lookup_pallas_diff(pyramid, flow, radius, bb, interpret)
+def _lookup_fwd(pyramid, flow, radius, bb, interpret, variant):
+    out = corr_lookup_pallas_diff(pyramid, flow, radius, bb, interpret,
+                                  variant)
     return out, (tuple(pyramid), flow)
 
 
-def _lookup_bwd(radius, bb, interpret, res, g):
+def _lookup_bwd(radius, bb, interpret, variant, res, g):
     pyramid, flow = res
     n, h, w, _ = flow.shape
     k = 2 * radius + 1
@@ -207,6 +296,7 @@ def corr_lookup_pallas(
     radius: int = 4,
     bb: int = 256,
     interpret: bool = False,
+    variant: str = "tent",
 ) -> jnp.ndarray:
     """Drop-in for ops.corr.corr_lookup with the same (N, H, W, L*k^2)
     output; see module docstring.  Accepts pyramid levels as either
@@ -228,7 +318,7 @@ def corr_lookup_pallas(
         coords = jnp.pad(coords, ((0, pad), (0, 0)))
         flat = [jnp.pad(m, ((0, pad), (0, 0))) for m in flat]
     out = corr_lookup_pallas_flat(flat, coords, radius=radius, bb=bb,
-                                  interpret=interpret)
+                                  interpret=interpret, variant=variant)
     if pad:
         out = out[:b]
     return out.reshape(n, h, w, len(pyramid) * k * k)

@@ -128,10 +128,13 @@ class TestCorrelation:
         expect = torch.cat(out_levels, dim=-1).numpy()
         np.testing.assert_allclose(got, expect, atol=1e-4)
 
+    @pytest.mark.parametrize("variant", ["tent", "shift"])
     @pytest.mark.parametrize("n,h,w", [(2, 8, 8), (1, 8, 8), (3, 4, 4)])
-    def test_pallas_lookup_matches_xla(self, rng, n, h, w):
+    def test_pallas_lookup_matches_xla(self, rng, n, h, w, variant):
         """Fused Pallas lookup kernel (interpret mode on CPU) == the XLA
-        tent-matmul path, including B % block != 0 row padding."""
+        tent-matmul path, including B % block != 0 row padding.  Both
+        kernel variants (dense tent-multiply and one-hot shifted-row
+        blend) must agree with the XLA formulation."""
         from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 
         c = 16
@@ -142,9 +145,29 @@ class TestCorrelation:
         want = np.asarray(corr_lookup(pyr, jnp.asarray(flow), radius=2))
         got = np.asarray(
             corr_lookup_pallas(pyr, jnp.asarray(flow), radius=2,
-                               interpret=True)
+                               interpret=True, variant=variant)
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_shift_variant_edge_and_integer_coords(self, rng):
+        """The shifted-row kernel's zeros-padding and integer-coordinate
+        paths (fy == 0) match the XLA tent path exactly where it matters:
+        windows straddling the map border and exactly-integer flows."""
+        from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
+
+        n, h, w, c = 2, 8, 8, 8
+        f1 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        f2 = rng.normal(size=(n, h, w, c)).astype(np.float32)
+        # integer flows (fy = fx = 0) and a large shift pushing most of the
+        # window off the map
+        flow = np.round(
+            rng.normal(size=(n, h, w, 2)).astype(np.float32) * 5)
+        pyr = correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), 2)
+        want = np.asarray(corr_lookup(pyr, jnp.asarray(flow), radius=2))
+        got = np.asarray(
+            corr_lookup_pallas(pyr, jnp.asarray(flow), radius=2,
+                               interpret=True, variant="shift"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_flat_pyramid_matches_4d(self, rng):
         """correlation_pyramid_flat (lane-dense levels, matmul pooling)
