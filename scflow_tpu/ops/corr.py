@@ -216,8 +216,9 @@ def corr_lookup_dispatch(
 
         from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas_diff
 
-        # experiment knobs (docs/PERFORMANCE.md "corr lookup kernel"):
-        # SCFLOW_LOOKUP_BB row-block size, SCFLOW_LOOKUP_VARIANT tent|shift
+        # experiment knobs (docs/PERFORMANCE.md "corr-lookup kernel
+        # experiments"): SCFLOW_LOOKUP_BB row-block size,
+        # SCFLOW_LOOKUP_VARIANT tent|shift
         bb = int(os.environ.get("SCFLOW_LOOKUP_BB", "256"))
         variant = os.environ.get("SCFLOW_LOOKUP_VARIANT", "tent")
         return corr_lookup_pallas_diff(tuple(pyramid), flow, radius, bb,
