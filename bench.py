@@ -137,7 +137,12 @@ def main():
     out = infer(variables, bdict)
     float(np.asarray(jax.device_get(out["rotations"])).sum())
 
-    n_rounds = 20
+    # 100 rounds: the remote-TPU tunnel adds a fixed per-dispatch cost
+    # that a 20-round loop leaves ~1% of in the per-step mean (measured:
+    # trivial-kernel dispatch 2.40 ms/call at n=20 vs 0.64 at n=100;
+    # flagship 83.5 -> 82.6 ms at n=100).  100 rounds measures the
+    # steady-state throughput a production serving loop actually sees.
+    n_rounds = 100
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         out = infer(variables, bdict)

@@ -72,7 +72,7 @@ def run(batch, dtype, unroll):
           "k": K, "labels": labels}
     out = infer(variables, bd)
     float(np.asarray(jax.device_get(out["rotations"])).sum())
-    n = 20
+    n = int(os.environ.get("SWEEP_ROUNDS", "20"))
     t0 = time.perf_counter()
     for _ in range(n):
         out = infer(variables, bd)
