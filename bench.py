@@ -64,7 +64,8 @@ def main():
     # bf16 compute (fp32 params/statistics) is the flagship dtype: the
     # eval-scale ADD-parity protocol (tools/bf16_parity.py; PERFORMANCE.md
     # "bf16 eval-scale ADD parity") measured a 0.00 ADD-table delta vs fp32
-    # over 480 poses x 20 table entries at two training levels — within the
+    # over 1,000 poses x 36 table entries (8 classes, 3 symmetric) at two
+    # training levels, with ZERO per-pose threshold crossings — within the
     # north star's 0.1% accuracy bar. The A100 torch reference itself runs
     # TF32 convs by default (cudnn allow_tf32), so reduced-precision compute
     # is the apples-to-apples comparison.

@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace of 2 steps into DIR")
+    ap.add_argument("--no-cull", action="store_true",
+                    help="disable backface culling (shipped configs cull)")
     ap.add_argument("--skip-fwd", action="store_true",
                     help="skip the forward-only timing (one less compile)")
     args = ap.parse_args()
@@ -127,6 +129,7 @@ def main():
         model, render_assets, loss_assets, image_size=(img, img),
         render_backend="pallas" if on_tpu else "xla",
         lookup_backend="xla",  # pallas VJP measured slower in training
+        render_cull_backfaces=not args.no_cull,  # shipped configs cull
     )
     batch_dict = {
         "real_images": real,
@@ -140,7 +143,7 @@ def main():
     }
 
     result = {"dtype": args.dtype, "mode": "scan" if args.scan else "unroll",
-              "batch": batch}
+              "batch": batch, "cull": not args.no_cull}
 
     # FLOPs of the compiled step (XLA cost analysis)
     try:
