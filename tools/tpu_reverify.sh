@@ -1,8 +1,9 @@
 #!/bin/bash
 # One-shot TPU re-verification after tunnel downtime: runs the perf
 # surfaces in sequence and logs everything.  Expected anchors
-# (docs/PERFORMANCE.md): bench.py ~584 ref/s fp32 batch 64; serve_bench
-# ~645 ref/s bf16; bench_train ~158 ms/step fp32.
+# (docs/PERFORMANCE.md, round 5): bench.py ~774 ref/s bf16 batch 64
+# (culling, 100-round loop); serve_bench ~745 ref/s bf16; bench_train
+# ~154 ms/step fp32 (~127 bf16).
 #
 #   bash tools/tpu_reverify.sh [LOGDIR]
 #
