@@ -218,7 +218,7 @@ def corr_lookup_dispatch(
 
         # experiment knobs (docs/PERFORMANCE.md "corr-lookup kernel
         # experiments"): SCFLOW_LOOKUP_BB row-block size,
-        # SCFLOW_LOOKUP_VARIANT tent|shift
+        # SCFLOW_LOOKUP_VARIANT tent|shift|bdiag
         bb = int(os.environ.get("SCFLOW_LOOKUP_BB", "256"))
         variant = os.environ.get("SCFLOW_LOOKUP_VARIANT", "tent")
         return corr_lookup_pallas_diff(tuple(pyramid), flow, radius, bb,

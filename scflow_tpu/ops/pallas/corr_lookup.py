@@ -38,6 +38,112 @@ def _tent(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+def _kernel_bdiag(coords_ref, *refs, sizes, radius: int, bb: int):
+    """Block-diagonal variant: ONE dot per tap across ALL pyramid levels.
+
+    Why: the per-level formulation issues 2k dots per level per grid step
+    (72 for 4 levels at k=9); the small levels' dots are tiny-K (256/64/16)
+    with N<=16 padded to 128 lanes, so they run at MXU dispatch latency,
+    not throughput — measured: levels 1-3 alone cost ~2.6 ms/call, almost
+    as much as level 0's ~2.0 despite 3x less data.  Concatenating the
+    levels on the contraction axis and using block-diagonal 0/1 selection
+    matrices computes the SAME MACs (each level's N already padded to a
+    full 128-lane tile either way) in 2k dots total — 4x fewer dispatches.
+
+    Layout: levels concat on lanes.  LHS pass-1 lanes = sum SS_l (1360 for
+    32/16/8/4); tmp per tap = sum S_l (60) columns; pass-2 output per tap
+    j = L*k columns (level-major within the tap), reassembled to the
+    standard level-major (B, L*k*k) contract at the end with static lane
+    slices.  Numerics identical to `_kernel` (same tent weights, same
+    f32 accumulation; the block-diagonal zeros contribute exact 0)."""
+    m_refs = refs[:-1]
+    out_ref = refs[-1]
+    k = 2 * radius + 1
+    nl = len(sizes)
+    cx = coords_ref[:, 0:1]  # (BB, 1)
+    cy = coords_ref[:, 1:2]
+
+    # per-level static pieces, then lane-concat
+    ss_list = [s * s for s in sizes]
+    hidx_parts, widx_parts, m_parts = [], [], []
+    pys, pxs = [], []
+    for lvl, (m_ref, s) in enumerate(zip(m_refs, sizes)):
+        inv = 1.0 / 2.0**lvl
+        pxs.append(cx * inv)
+        pys.append(cy * inv)
+        m_parts.append(m_ref[...].astype(jnp.float32))
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (1, s * s), 1)
+        hidx_parts.append((lidx // s).astype(jnp.float32))
+        widx_parts.append((lidx % s).astype(jnp.float32))
+    mcat = jnp.concatenate(m_parts, axis=-1)  # (BB, sum SS)
+
+    # g1cat (sum SS, sum S): block-diag of per-level [l%S == w]
+    scol = sum(sizes)
+    g1_blocks = []
+    for li, s in enumerate(sizes):
+        g1 = (
+            jax.lax.broadcasted_iota(jnp.int32, (s * s, s), 0) % s
+            == jax.lax.broadcasted_iota(jnp.int32, (s * s, s), 1)
+        ).astype(jnp.float32)
+        left = sum(sizes[:li])
+        g1_blocks.append(jnp.pad(g1, ((0, 0), (left, scol - left - s))))
+    g1cat = jnp.concatenate(g1_blocks, axis=0)  # (sum SS, sum S)
+
+    # pass 1: one dot per y-tap i over the level-concat lanes
+    tmp_parts = []
+    for i in range(k):
+        wy = jnp.concatenate(
+            [_tent(pys[li] + (i - radius) - hidx_parts[li])
+             for li in range(nl)], axis=-1)  # (BB, sum SS)
+        tmp_parts.append(
+            jax.lax.dot_general(
+                wy * mcat, g1cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (BB, sum S)
+    tmp = jnp.concatenate(tmp_parts, axis=-1)  # (BB, k * sum S)
+
+    # pass-2 selection g2cat (k*sum S, nl*k): column c = i*scol + off_l + w
+    # -> output o = l*k + i (sum over w inside the level block)
+    ks2 = k * scol
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (ks2, nl * k), 0)
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (ks2, nl * k), 1)
+    q = r_idx % scol
+    lvl_q = jnp.zeros_like(q)
+    acc = 0
+    for s in sizes[:-1]:
+        acc += s
+        lvl_q = lvl_q + (q >= acc).astype(q.dtype)
+    g2cat = ((o_idx % k == r_idx // scol)
+             & (o_idx // k == lvl_q)).astype(jnp.float32)
+
+    # per-column x-tap weights: column i*scol + off_l + w gets
+    # tent(px_l + (j - r) - w); the (BB, scol) level-concat piece tiles k
+    # times over i
+    wxs = []
+    for j in range(k):
+        wx_one = jnp.concatenate(
+            [_tent(pxs[li] + (j - radius) - widx_parts[li][:, : sizes[li]])
+             for li in range(nl)], axis=-1)  # (BB, sum S)
+        wxs.append(jnp.concatenate([wx_one] * k, axis=-1))  # (BB, k*sum S)
+
+    outs_j = []
+    for j in range(k):
+        outs_j.append(
+            jax.lax.dot_general(
+                wxs[j] * tmp, g2cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (BB, nl*k) = [l*k + i]
+    # reassemble to the standard level-major contract: level l block at
+    # offset l*k*k, tap index j*k + i
+    pieces = []
+    for li in range(nl):
+        for j in range(k):
+            pieces.append(outs_j[j][:, li * k : (li + 1) * k])
+    out_ref[...] = jnp.concatenate(pieces, axis=-1)
+
+
 def _kernel_shift(coords_ref, *refs, sizes, radius: int, bb: int):
     """One-hot shifted-row variant of `_kernel` (same output contract).
 
@@ -197,7 +303,8 @@ def corr_lookup_pallas_flat(
     assert b % bb == 0, (b, bb)
     grid = (b // bb,)
     kern = functools.partial(
-        _kernel_shift if variant == "shift" else _kernel,
+        {"shift": _kernel_shift, "bdiag": _kernel_bdiag}.get(
+            variant, _kernel),
         sizes=tuple(sizes), radius=radius, bb=bb)
     in_specs = [pl.BlockSpec((bb, 2), lambda i: (i, 0))]
     in_specs += [

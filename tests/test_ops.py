@@ -128,13 +128,13 @@ class TestCorrelation:
         expect = torch.cat(out_levels, dim=-1).numpy()
         np.testing.assert_allclose(got, expect, atol=1e-4)
 
-    @pytest.mark.parametrize("variant", ["tent", "shift"])
+    @pytest.mark.parametrize("variant", ["tent", "shift", "bdiag"])
     @pytest.mark.parametrize("n,h,w", [(2, 8, 8), (1, 8, 8), (3, 4, 4)])
     def test_pallas_lookup_matches_xla(self, rng, n, h, w, variant):
         """Fused Pallas lookup kernel (interpret mode on CPU) == the XLA
-        tent-matmul path, including B % block != 0 row padding.  Both
-        kernel variants (dense tent-multiply and one-hot shifted-row
-        blend) must agree with the XLA formulation."""
+        tent-matmul path, including B % block != 0 row padding.  All
+        kernel variants (dense tent-multiply, one-hot shifted-row blend,
+        block-diagonal cross-level) must agree with the XLA formulation."""
         from scflow_tpu.ops.pallas.corr_lookup import corr_lookup_pallas
 
         c = 16

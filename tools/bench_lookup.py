@@ -4,6 +4,8 @@
 on kernel variants without the 5-minute full-graph compile.
 
 Env: LOOKUP_VARIANTS=tent,shift LOOKUP_BBS=256 LOOKUP_DTYPE=bf16|f32
+LOOKUP_LEVELS=0,1,2,3 (subset of pyramid levels, e.g. "0" or "1,2,3" —
+for measuring a split-call strategy's component costs)
 """
 
 import os
@@ -33,7 +35,9 @@ def main():
     dt = jnp.bfloat16 if os.environ.get(
         "LOOKUP_DTYPE", "bf16") == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
-    sizes = [S >> l for l in range(4)]
+    levels = [int(x) for x in
+              os.environ.get("LOOKUP_LEVELS", "0,1,2,3").split(",")]
+    sizes = [S >> l for l in levels]
     pyr = [jnp.asarray(rng.normal(size=(B, s * s)).astype(np.float32),
                        dtype=dt) for s in sizes]
     coords = jnp.asarray(
