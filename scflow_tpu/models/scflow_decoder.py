@@ -277,6 +277,14 @@ class SCFlowDecoder(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         iters = self.iters if iters is None else iters
         unroll = self.unroll if unroll is None else unroll
+        if iters == 1:
+            # a length-1 lax.scan is pure overhead: measured +9.4 ms vs the
+            # linear iters trend at the flagship shapes (docs/PERFORMANCE.md
+            # "Recurrence marginal cost") — XLA lowers it through a worse
+            # specialization.  The unrolled body is the same computation on
+            # the same param tree (tests/test_models.py::
+            # test_scan_matches_unroll), so route 1-iteration calls there.
+            unroll = True
         scan_unroll = (self.scan_unroll if scan_unroll is None
                        else scan_unroll)
         scale = 2 ** (self.num_levels - 1)
