@@ -6,9 +6,10 @@ prints per-image latency, `/root/reference/test.py:116-120`); this module is
 the deployment surface the rebuild adds on top of the device-side serving
 pipeline (`scflow_tpu/serving.py`): clients POST one camera frame plus
 initial poses, the server coalesces concurrent requests into one padded
-device batch (the measured throughput knee is batch 64, see
-docs/PERFORMANCE.md), and answers with refined poses in the original camera
-frame.
+device batch (default `max_objects=64` — the latency-friendly point;
+batch 128 measures ~1% more throughput at 2x step latency, see
+docs/PERFORMANCE.md "Serving re-bench"), and answers with refined poses
+in the original camera frame.
 
 Design notes, TPU-first:
 
