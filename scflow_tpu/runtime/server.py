@@ -417,10 +417,19 @@ class MicroBatcher:
         deadline = first.t_enqueue + self.max_delay
         while len(batch) < self.max_frames:
             timeout = deadline - time.perf_counter()
-            if timeout <= 0:
-                break
             try:
-                nxt = self._q.get(timeout=timeout)
+                if timeout <= 0:
+                    # The delay window bounds how long we WAIT for future
+                    # requests — it must not discard requests already
+                    # queued.  Under load the batcher re-enters _collect
+                    # after a dispatch, i.e. past the first request's
+                    # deadline; before this drain-step existed that closed
+                    # every batch at ONE request (measured: 8 concurrent
+                    # clients -> mean_requests_per_batch 1.0, the device
+                    # stepping once per request).
+                    nxt = self._q.get_nowait()
+                else:
+                    nxt = self._q.get(timeout=timeout)
             except queue.Empty:
                 break
             if nxt is _STOP:

@@ -114,6 +114,47 @@ class TestMicroBatcher:
         finally:
             b.stop()
 
+    def test_queued_requests_coalesce_past_deadline(self):
+        """Requests that accumulated while the batcher was busy must be
+        drained into ONE batch even though the first one's delay window
+        has long expired — the regression behind the measured
+        mean_requests_per_batch=1.0 under concurrent load: the collect
+        loop treated an expired deadline as 'close the batch now' and the
+        device stepped once per request."""
+        import threading
+
+        gate = threading.Event()
+        batches = []
+
+        def slow_backend(requests):
+            batches.append([r.num_objects for r in requests])
+            if len(batches) == 1:
+                gate.wait(timeout=10)  # hold batch 1 until the queue fills
+            return [
+                {"rotations": np.tile(np.eye(3, dtype=np.float32)[None],
+                                      (r.num_objects, 1, 1)),
+                 "translations": np.zeros((r.num_objects, 3), np.float32)}
+                for r in requests
+            ]
+
+        b = MicroBatcher(slow_backend, max_delay_ms=1.0)
+        try:
+            first = b.submit(make_request(p=1, seed=0))
+            import time as _t
+
+            _t.sleep(0.2)  # batch 1 is now in slow_backend, well past 1 ms
+            futs = [b.submit(make_request(p=1, seed=i)) for i in range(1, 6)]
+            _t.sleep(0.05)  # let the 5 requests sit in the queue
+            gate.set()
+            first.result(timeout=10)
+            for f in futs:
+                f.result(timeout=10)
+            # all 5 queued requests must have been drained into one batch
+            assert batches == [[1], [1] * 5], batches
+        finally:
+            gate.set()
+            b.stop()
+
     def test_object_budget_holds_overflow_request(self):
         backend = FakeBackend(delay=0.05)
         b = MicroBatcher(backend, max_objects=4, max_delay_ms=500.0)
