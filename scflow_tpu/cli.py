@@ -125,7 +125,7 @@ def train_main(argv=None):
     logger = get_logger("scflow_tpu", timestamped_log_file(work_dir))
     logger.info(f"jax devices: {jax.devices()}")
 
-    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    image_size = tuple(cfg.model.get("renderer", {}).get("image_size", (256, 256)))
     model = build_refiner_from_config(cfg.model)
     render_assets, bank = build_render_assets(cfg.model)
     loss_assets = build_loss_assets(cfg.model, bank.num_class)
@@ -280,7 +280,7 @@ def test_main(argv=None):
         cfg.merge_from_dict(Config.parse_options(args.cfg_options))
     np.random.seed(args.seed)
 
-    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    image_size = tuple(cfg.model.get("renderer", {}).get("image_size", (256, 256)))
     model = build_refiner_from_config(cfg.model)
     render_assets, _ = build_render_assets(cfg.model)
     variables = init_model_variables(cfg.model, model, image_size)
@@ -356,6 +356,12 @@ def parse_serve_args(argv=None):
     p.add_argument("--pow2-buckets", action="store_true",
                    help="pad to shared pow2 buckets instead of one fixed "
                         "batch (cheap-compile backends only)")
+    p.add_argument("--keepalive-s", default=0.0, type=float,
+                   help="device keep-alive tick interval (runs the real "
+                        "serving fn on 1 synthetic object); 0 = off, the "
+                        "default — see docs/SERVING.md 'idle cold-start' "
+                        "for when it helps and the measured case where "
+                        "it did not")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -384,7 +390,7 @@ def serve_main(argv=None):
     if args.cfg_options:
         cfg.merge_from_dict(Config.parse_options(args.cfg_options))
 
-    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    image_size = tuple(cfg.model.get("renderer", {}).get("image_size", (256, 256)))
     model = build_refiner_from_config(cfg.model)
     render_assets, bank = build_render_assets(cfg.model)
     variables = init_model_variables(cfg.model, model, image_size,
@@ -419,6 +425,13 @@ def serve_main(argv=None):
         max_frames=args.max_frames,
         max_objects=args.max_objects, max_delay_ms=args.max_delay_ms,
     )
+    keepalive = None
+    if args.keepalive_s > 0:
+        from scflow_tpu.runtime.server import (DeviceKeepAlive,
+                                               make_service_keepalive_tick)
+
+        keepalive = DeviceKeepAlive(make_service_keepalive_tick(service),
+                                    interval_s=args.keepalive_s)
     httpd = make_http_server(service, batcher, args.host, args.port)
     logger.info(f"serving on http://{args.host}:{args.port} "
                 f"(POST /v1/refine, GET /healthz, GET /v1/stats)")
@@ -437,6 +450,8 @@ def serve_main(argv=None):
     finally:
         httpd.shutdown()
         batcher.stop()
+        if keepalive is not None:
+            keepalive.stop()
 
 
 def parse_export_args(argv=None):
@@ -477,7 +492,7 @@ def export_main(argv=None):
     if args.cfg_options:
         cfg.merge_from_dict(Config.parse_options(args.cfg_options))
 
-    image_size = tuple(cfg.model["renderer"].get("image_size", (256, 256)))
+    image_size = tuple(cfg.model.get("renderer", {}).get("image_size", (256, 256)))
     model = build_refiner_from_config(cfg.model)
     render_assets, bank = build_render_assets(cfg.model)
     variables = init_model_variables(cfg.model, model, image_size,

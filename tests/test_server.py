@@ -155,6 +155,28 @@ class TestMicroBatcher:
             gate.set()
             b.stop()
 
+    def test_device_keepalive_ticks_and_stops(self):
+        """The keep-alive ticker calls its tick at the interval, swallows
+        tick errors, and joins cleanly on stop (the live ~10s
+        idle-reconnect stall it targets is measured in docs/SERVING.md)."""
+        import time as _t
+
+        from scflow_tpu.runtime.server import DeviceKeepAlive
+
+        calls = []
+
+        def tick():
+            calls.append(1)
+            if len(calls) == 2:
+                raise RuntimeError("transient")  # must not kill the thread
+
+        ka = DeviceKeepAlive(tick, interval_s=0.02)
+        _t.sleep(0.2)
+        assert ka._thread.is_alive()
+        ka.stop()
+        assert not ka._thread.is_alive()
+        assert len(calls) >= 3  # kept ticking past the raising tick
+
     def test_object_budget_holds_overflow_request(self):
         backend = FakeBackend(delay=0.05)
         b = MicroBatcher(backend, max_objects=4, max_delay_ms=500.0)
